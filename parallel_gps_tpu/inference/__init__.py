@@ -1,0 +1,23 @@
+from parallel_gps_tpu.inference.mcmc import (
+    hmc_kernel,
+    mala_kernel,
+    nuts_kernel,
+    sample_chain,
+)
+from parallel_gps_tpu.inference.optim import (
+    fit_adam,
+    fit_lbfgs,
+    make_loss,
+    make_log_posterior,
+)
+
+__all__ = [
+    "fit_adam",
+    "fit_lbfgs",
+    "make_loss",
+    "make_log_posterior",
+    "hmc_kernel",
+    "mala_kernel",
+    "nuts_kernel",
+    "sample_chain",
+]

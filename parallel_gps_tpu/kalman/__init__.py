@@ -1,0 +1,4 @@
+from parallel_gps_tpu.kalman.parallel import pkf, pkfs, pks
+from parallel_gps_tpu.kalman.sequential import kf, kfs, ks
+
+__all__ = ["kf", "ks", "kfs", "pkf", "pks", "pkfs"]

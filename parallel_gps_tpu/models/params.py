@@ -1,0 +1,117 @@
+"""Parameter transforms, trainability masks and priors.
+
+The reference delegates constrained↔unconstrained parameter handling to
+GPflow's ``Parameter(transform=positive())`` (reference: pssgp/model.py:67)
+and samples/optimizes in unconstrained space via ``SamplingHelper``
+(reference: pssgp/experiments/common.py:96-97).  Here the equivalents are
+pure pytree transforms:
+
+  - model/kernel pytrees store *constrained* values;
+  - ``unconstrain``/``constrain`` map positive-valued hyperparameters through
+    a softplus bijector, identified by field name — every positively
+    constrained quantity in the framework is called ``variance``,
+    ``lengthscales``, ``period`` or ``noise_variance``;
+  - optimizers and MCMC run on the unconstrained pytree; losses/targets wrap
+    with ``constrain``.
+
+Trainability (GPflow ``set_trainable``) becomes a boolean mask pytree for
+``optax.masked`` / frozen-leaf replacement.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+POSITIVE_FIELD_NAMES = frozenset(
+    {"variance", "lengthscales", "period", "noise_variance"}
+)
+
+
+def softplus(x):
+    return jax.nn.softplus(x)
+
+
+def inv_softplus(y):
+    # Stable inverse: y + log(1 - exp(-y)) = y + log(-expm1(-y)).
+    y = jnp.asarray(y)
+    return y + jnp.log(-jnp.expm1(-y))
+
+
+def _leaf_name(path) -> str:
+    for entry in reversed(path):
+        if isinstance(entry, jax.tree_util.GetAttrKey):
+            return entry.name
+        if isinstance(entry, jax.tree_util.DictKey):
+            return str(entry.key)
+    return ""
+
+
+def _is_positive(path) -> bool:
+    return _leaf_name(path) in POSITIVE_FIELD_NAMES
+
+
+def unconstrain(tree):
+    """Map positive-constrained leaves to unconstrained space (softplus⁻¹)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: inv_softplus(x) if _is_positive(p) else x, tree
+    )
+
+
+def constrain(tree):
+    """Inverse of :func:`unconstrain`."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: softplus(x) if _is_positive(p) else x, tree
+    )
+
+
+def as_arrays(tree, dtype=None):
+    """Canonicalize all leaves to jnp arrays of the default float dtype."""
+    if dtype is None:
+        from parallel_gps_tpu.config import default_float
+
+        dtype = default_float()
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), tree)
+
+
+def trainable_mask(tree, predicate: Callable[[str], bool]):
+    """Boolean mask pytree: predicate receives the dotted leaf path."""
+
+    def path_str(path) -> str:
+        parts = []
+        for entry in path:
+            if isinstance(entry, jax.tree_util.GetAttrKey):
+                parts.append(entry.name)
+            elif isinstance(entry, jax.tree_util.SequenceKey):
+                parts.append(str(entry.idx))
+            elif isinstance(entry, jax.tree_util.DictKey):
+                parts.append(str(entry.key))
+        return ".".join(parts)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: bool(predicate(path_str(p))), tree
+    )
+
+
+def log_prior(tree, priors: dict):
+    """Sum of prior log-densities over matching leaves.
+
+    ``priors`` maps a dotted-path *suffix* (e.g. ``"kernel.lengthscales"``)
+    to a callable ``logpdf(value) -> scalar``.  Matches the reference's
+    per-parameter prior attachment (pssgp/experiments/toy_models/mcmc.py:30-44).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    total = 0.0
+    for path, leaf in flat:
+        parts = []
+        for entry in path:
+            if isinstance(entry, jax.tree_util.GetAttrKey):
+                parts.append(entry.name)
+            elif isinstance(entry, jax.tree_util.SequenceKey):
+                parts.append(str(entry.idx))
+        dotted = ".".join(parts)
+        for suffix, logpdf in priors.items():
+            if dotted.endswith(suffix):
+                total = total + jnp.sum(logpdf(leaf))
+    return total

@@ -1,0 +1,129 @@
+"""State-space GP regression model — the user-facing API.
+
+Functional equivalent of the reference's ``StateSpaceGP``
+(pssgp/model.py:58-117): the model is an immutable pytree (data + kernel +
+noise), so whole-model ``jit`` / ``grad`` / ``vmap`` come for free — this
+replaces the reference's ``tf.function`` signature machinery
+(model.py:71-84).  Engine selection (sequential vs parallel) is a static
+field; ``max_parallel`` is unnecessary (see kalman/parallel.py) but accepted.
+
+Prediction merges the (sorted) training and query times with a
+searchsorted+scatter merge — O(log T) depth rather than a full argsort —
+mirroring reference model.py:15-55, injects NaN observations at query points,
+runs the smoother over the union, and reads off H-projections.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+from jax import Array
+
+from parallel_gps_tpu.kalman.parallel import pkf, pkfs
+from parallel_gps_tpu.kalman.sequential import kf, kfs
+from parallel_gps_tpu.kernels.base import SDEKernel
+from parallel_gps_tpu.types import LGSSM
+
+
+def merge_sorted(a: Array, b: Array, a_data, b_data):
+    """Stable merge of two sorted 1-D arrays plus parallel payloads.
+
+    Returns (merged_keys, merged_payloads, b_positions_mask) where the mask is
+    True at positions coming from ``b``.  Equivalent to the reference's
+    ``_merge_sorted`` (pssgp/model.py:15-55) — searchsorted + two scatters
+    instead of argsort.
+    """
+    na, nb = a.shape[0], b.shape[0]
+    n = na + nb
+    # Position of each b-element in the merged array: its searchsorted index
+    # into a (a-elements before it) plus the number of b-elements before it.
+    b_pos = jnp.searchsorted(a, b) + jnp.arange(nb)
+    is_b = jnp.zeros((n,), bool).at[b_pos].set(True)
+    a_pos = jnp.nonzero(jnp.logical_not(is_b), size=na)[0]
+
+    def scatter(u, v):
+        out = jnp.zeros((n,) + u.shape[1:], dtype=u.dtype)
+        out = out.at[a_pos].set(u)
+        out = out.at[b_pos].set(v)
+        return out
+
+    merged = scatter(a, b)
+    payloads = tuple(scatter(u, v) for u, v in zip(a_data, b_data))
+    return merged, payloads, is_b
+
+
+@struct.dataclass
+class StateSpaceGP:
+    ts: Array  # (T, 1) sorted time stamps
+    ys: Array  # (T, 1) observations, NaN = missing
+    kernel: SDEKernel
+    noise_variance: Array
+    parallel: bool = struct.field(pytree_node=False, default=True)
+
+    @classmethod
+    def create(
+        cls,
+        data,
+        kernel: SDEKernel,
+        noise_variance: float = 1.0,
+        parallel: bool = True,
+        max_parallel: int = 0,  # reference-API compat; unused
+        dtype=None,
+    ) -> "StateSpaceGP":
+        del max_parallel
+        ts, ys = data
+        if dtype is None:
+            from parallel_gps_tpu.config import default_float
+
+            dtype = default_float()
+        ts = jnp.asarray(ts, dtype).reshape(-1, 1)
+        ys = jnp.asarray(ys, dtype).reshape(-1, 1)
+        return cls(
+            ts=ts,
+            ys=ys,
+            kernel=kernel,
+            noise_variance=jnp.asarray(noise_variance, dtype),
+            parallel=parallel,
+        )
+
+    def _make_model(self, ts: Array) -> LGSSM:
+        R = jnp.reshape(self.noise_variance, (1, 1))
+        return self.kernel.get_ssm(ts, R)
+
+    def log_marginal_likelihood(self) -> Array:
+        """LML of the data (reference: pssgp/model.py:113-117)."""
+        ssm = self._make_model(self.ts)
+        if self.parallel:
+            _, _, ell = pkf(ssm, self.ys, return_loglikelihood=True)
+        else:
+            _, _, ell = kf(ssm, self.ys, return_loglikelihood=True)
+        return ell
+
+    # Alias matching the reference method name (pssgp/model.py:113).
+    maximum_log_likelihood_objective = log_marginal_likelihood
+
+    def training_loss(self) -> Array:
+        return -self.log_marginal_likelihood()
+
+    def predict_f(self, Xnew: Array):
+        """Posterior mean/variance of f at new inputs
+        (reference: pssgp/model.py:92-111)."""
+        Xnew = jnp.asarray(Xnew, self.ts.dtype).reshape(-1, 1)
+        # Sort queries (and later unsort results): unlike the reference, which
+        # silently assumes sorted Xnew, unsorted queries are handled correctly.
+        order = jnp.argsort(Xnew[:, 0])
+        Xsorted = Xnew[order]
+        nan_ys = jnp.full((Xnew.shape[0], self.ys.shape[1]), jnp.nan, self.ys.dtype)
+        all_ts, (all_ys,), is_query = merge_sorted(
+            self.ts[:, 0], Xsorted[:, 0], (self.ys,), (nan_ys,)
+        )
+        ssm = self._make_model(all_ts[:, None])
+        if self.parallel:
+            sms, sPs = pkfs(ssm, all_ys)
+        else:
+            sms, sPs = kfs(ssm, all_ys)
+        q_idx = jnp.nonzero(is_query, size=Xnew.shape[0])[0]
+        sms_q, sPs_q = sms[q_idx], sPs[q_idx]
+        mean = (ssm.H[None] @ sms_q[..., None])[..., 0]  # (M, 1)
+        var = (ssm.H[None] @ sPs_q @ ssm.H.T)[..., 0]  # (M, 1)
+        inv_order = jnp.argsort(order)
+        return mean[inv_order], var[inv_order]

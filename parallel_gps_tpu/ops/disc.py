@@ -1,0 +1,65 @@
+"""Continuous → discrete compilation: LTI SDE + time stamps → LGSSM.
+
+The reference discretizes with a batched 2d×2d matrix exponential via the
+matrix-fraction decomposition (reference: pssgp/kernels/base.py:29-47).  Every
+kernel in this framework (as in the reference) sets P0 to the *stationary*
+covariance P∞ solving F P + P Fᵀ + L Q Lᵀ = 0, in which case the discrete
+process noise has the closed form
+
+    Q_k = P∞ − A_k P∞ A_kᵀ,   A_k = expm(dt_k · F),
+
+which needs only the d×d exponential — half the FLOPs and better conditioned
+on TPU.  ``discretize`` uses this identity; ``discretize_mfd`` keeps the
+general matrix-fraction path as a cross-checked oracle (tests assert the two
+agree for every kernel).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.scipy.linalg import expm
+
+from parallel_gps_tpu.ops.linalg import symmetrize
+from parallel_gps_tpu.types import LGSSM, ContinuousDiscreteModel
+
+
+def _dts(ts: Array, t0) -> Array:
+    """Time deltas with t0 prepended (reference: pssgp/kernels/base.py:32-35)."""
+    ts = ts.reshape(-1)
+    t0 = jnp.asarray(t0, dtype=ts.dtype).reshape(())
+    prev = jnp.concatenate([t0[None], ts[:-1]])
+    return ts - prev
+
+
+def discretize(sde: ContinuousDiscreteModel, ts: Array, R: Array, t0=0.0) -> LGSSM:
+    """Stationary-initialization discretization (see module docstring)."""
+    dts = _dts(ts, t0)
+    Fs = jax.vmap(lambda dt: expm(dt * sde.F))(dts)
+    P0 = symmetrize(sde.P0)
+    Qs = symmetrize(P0[None] - Fs @ P0 @ jnp.swapaxes(Fs, -1, -2))
+    return LGSSM(P0, Fs, Qs, sde.H, jnp.asarray(R).reshape(1, 1))
+
+
+def discretize_mfd(
+    sde: ContinuousDiscreteModel, ts: Array, R: Array, t0=0.0
+) -> LGSSM:
+    """Matrix-fraction-decomposition discretization.
+
+    General path valid for any P0 (not only stationary); mirrors the math of
+    reference pssgp/kernels/base.py:36-46 with a single fused 2d×2d expm.
+    """
+    n = sde.F.shape[0]
+    dts = _dts(ts, t0)
+
+    LQL = sde.L @ sde.Q @ sde.L.T
+    Phi = jnp.block([[sde.F, LQL], [jnp.zeros_like(sde.F), -sde.F.T]])
+
+    def one(dt):
+        M = expm(dt * Phi)
+        A = M[:n, :n]  # block-triangular structure: equals expm(dt F)
+        Q = M[:n, n:] @ A.T
+        return A, Q
+
+    Fs, Qs = jax.vmap(one)(dts)
+    return LGSSM(sde.P0, Fs, symmetrize(Qs), sde.H, jnp.asarray(R).reshape(1, 1))

@@ -1,0 +1,160 @@
+"""Time-axis-sharded Kalman filtering/smoothing over a device mesh.
+
+The reference is single-device (SURVEY.md §0); this module is the scale-out
+path: shard the T axis of the LGSSM and observations over a mesh axis
+(``"time"``), construct scan elements as embarrassingly-parallel per-timestep
+work (GSPMD partitions it from the sharding annotations), and run the
+associative scans through :func:`sharded_associative_scan` inside
+``shard_map`` — one tiny ``all_gather`` of per-shard totals per scan, riding
+ICI within a slice and DCN across slices.
+
+Everything is differentiable end-to-end, so LML gradients for hyperparameter
+optimization work across hosts.
+
+Layout contract: T must be divisible by the mesh axis size (pad upstream with
+NaN observations — NaN steps are exact no-ops in the element algebra).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from parallel_gps_tpu.kalman.parallel import (
+    FilteringElement,
+    SmoothingElement,
+    filtering_operator,
+    make_filtering_elements,
+    make_smoothing_elements,
+    smoothing_operator,
+    _mv,
+)
+from parallel_gps_tpu.ops.linalg import mvn_logpdf
+from parallel_gps_tpu.parallel.scan import sharded_associative_scan
+from parallel_gps_tpu.types import LGSSM
+
+try:  # JAX ≥ 0.6 stable API
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older JAX
+    from jax.experimental.shard_map import shard_map
+
+
+def make_time_mesh(n_devices: int | None = None, axis: str = "time") -> Mesh:
+    """1-D mesh over all (or the first n) devices, named ``axis``."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _filtering_identity(d: int, dtype) -> FilteringElement:
+    """Identity of the filtering combine: (A=I, b=0, C=0, J=0, eta=0)."""
+    return FilteringElement(
+        A=jnp.eye(d, dtype=dtype),
+        b=jnp.zeros((d,), dtype),
+        C=jnp.zeros((d, d), dtype),
+        J=jnp.zeros((d, d), dtype),
+        eta=jnp.zeros((d,), dtype),
+    )
+
+
+def _smoothing_identity(d: int, dtype) -> SmoothingElement:
+    """Identity of the smoothing combine: (E=I, g=0, L=0)."""
+    return SmoothingElement(
+        E=jnp.eye(d, dtype=dtype),
+        g=jnp.zeros((d,), dtype),
+        L=jnp.zeros((d, d), dtype),
+    )
+
+
+def _scan_sharded(operator, elems, identity, mesh, axis: str, reverse: bool):
+    spec = jax.tree.map(lambda _: P(axis), elems)
+    fn = shard_map(
+        partial(
+            sharded_associative_scan,
+            operator,
+            axis_name=axis,
+            identity=identity,
+            reverse=reverse,
+        ),
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=spec,
+    )
+    return fn(elems)
+
+
+def sharded_pkf(
+    lgssm: LGSSM,
+    observations: Array,
+    mesh: Mesh,
+    axis: str = "time",
+    return_loglikelihood: bool = False,
+):
+    """Parallel Kalman filter with the scan sharded over ``mesh[axis]``.
+
+    Same semantics as :func:`parallel_gps_tpu.kalman.parallel.pkf`.
+    """
+    P0, Fs, Qs, H, R = lgssm
+    d = P0.shape[0]
+    dtype = P0.dtype
+    m0 = jnp.zeros((d,), dtype)
+
+    elems = make_filtering_elements(lgssm, observations)
+    final = _scan_sharded(
+        filtering_operator,
+        elems,
+        _filtering_identity(d, dtype),
+        mesh,
+        axis,
+        reverse=False,
+    )
+    fms, fPs = final.b, final.C
+    if not return_loglikelihood:
+        return fms, fPs
+
+    ys = observations.reshape(-1, 1)
+    mask = jnp.logical_not(jnp.isnan(ys[:, 0]))
+    y = jnp.where(mask[:, None], jnp.nan_to_num(ys), 0.0)
+    prev_ms = jnp.concatenate([m0[None], fms[:-1]], axis=0)
+    prev_Ps = jnp.concatenate([P0[None], fPs[:-1]], axis=0)
+    mps = _mv(Fs, prev_ms)
+    Pps = Fs @ prev_Ps @ jnp.swapaxes(Fs, -1, -2) + Qs
+    obs_means = _mv(H[None], mps)
+    obs_covs = H[None] @ Pps @ H.T + R
+    logprobs = mvn_logpdf(y, obs_means, obs_covs)
+    ell = jnp.sum(jnp.where(mask, logprobs, 0.0))
+    return fms, fPs, ell
+
+
+def sharded_pks(
+    lgssm: LGSSM, ms: Array, Ps: Array, mesh: Mesh, axis: str = "time"
+):
+    """Parallel RTS smoother with the reverse scan sharded over ``mesh[axis]``."""
+    d = lgssm.P0.shape[0]
+    elems = make_smoothing_elements(lgssm, ms, Ps)
+    final = _scan_sharded(
+        smoothing_operator,
+        elems,
+        _smoothing_identity(d, lgssm.P0.dtype),
+        mesh,
+        axis,
+        reverse=True,
+    )
+    return final.g, final.L
+
+
+def sharded_pkfs(
+    lgssm: LGSSM, observations: Array, mesh: Mesh, axis: str = "time"
+):
+    fms, fPs = sharded_pkf(lgssm, observations, mesh, axis)
+    return sharded_pks(lgssm, fms, fPs, mesh, axis)
+
+
+def time_sharding(mesh: Mesh, axis: str = "time") -> NamedSharding:
+    """Sharding for (T, ...) arrays: leading axis over the time mesh axis."""
+    return NamedSharding(mesh, P(axis))

@@ -1,0 +1,18 @@
+"""Test configuration: CPU backend, float64, 8 virtual devices.
+
+The idiomatic JAX way to test sharded scans without a pod: 8 fake CPU devices
+via ``--xla_force_host_platform_device_count`` (SURVEY.md §4).  Must run
+before any JAX backend initialization, hence at conftest import time.
+"""
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

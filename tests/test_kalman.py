@@ -1,0 +1,153 @@
+"""Engine-level tests: sequential vs parallel parity, NaN path, operator
+associativity, and discretization cross-checks.
+
+Extends the reference's test strategy (SURVEY.md §4) with the property tests
+it lacks (associativity of the combine operators, explicit NaN-path checks).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from parallel_gps_tpu.kalman.parallel import (
+    FilteringElement,
+    filtering_operator,
+    pkf,
+    pkfs,
+    pks,
+    smoothing_operator,
+    SmoothingElement,
+)
+from parallel_gps_tpu.kalman.sequential import kf, kfs
+from parallel_gps_tpu.kernels import Matern32, Matern52
+from parallel_gps_tpu.ops.disc import discretize, discretize_mfd
+from parallel_gps_tpu.toymodels import obs_noise, sinu
+
+
+def _make_data(T=200, seed=31415926, with_nans=False):
+    rng = np.random.RandomState(seed)
+    t = np.sort(rng.rand(T))
+    y = obs_noise(sinu(t), 0.1, seed)
+    if with_nans:
+        idx = rng.choice(T, size=T // 5, replace=False)
+        y[idx] = np.nan
+    return jnp.asarray(t), jnp.asarray(y).reshape(-1, 1)
+
+
+def _make_ssm(t, kernel=None):
+    kernel = kernel or Matern32(variance=1.0, lengthscales=0.5)
+    return kernel.get_ssm(t.reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1))
+
+
+@pytest.mark.parametrize("with_nans", [False, True])
+def test_sequential_vs_parallel_filter(with_nans):
+    t, y = _make_data(with_nans=with_nans)
+    ssm = _make_ssm(t)
+    fms_s, fPs_s, ell_s = kf(ssm, y, return_loglikelihood=True)
+    fms_p, fPs_p, ell_p = pkf(ssm, y, return_loglikelihood=True)
+    npt.assert_allclose(fms_s, fms_p, atol=1e-8)
+    npt.assert_allclose(fPs_s, fPs_p, atol=1e-8)
+    npt.assert_allclose(ell_s, ell_p, atol=1e-8)
+
+
+@pytest.mark.parametrize("with_nans", [False, True])
+def test_sequential_vs_parallel_smoother(with_nans):
+    t, y = _make_data(with_nans=with_nans)
+    ssm = _make_ssm(t, Matern52(variance=1.0, lengthscales=0.5))
+    sms_s, sPs_s = kfs(ssm, y)
+    sms_p, sPs_p = pkfs(ssm, y)
+    npt.assert_allclose(sms_s, sms_p, atol=1e-8)
+    npt.assert_allclose(sPs_s, sPs_p, atol=1e-8)
+
+
+def test_all_nan_observations_give_prior_filter():
+    """With every observation missing, the filter must return the prior
+    marginals (pure prediction) and zero log-likelihood."""
+    t, y = _make_data(T=50)
+    y = jnp.full_like(y, jnp.nan)
+    ssm = _make_ssm(t)
+    fms, fPs, ell = pkf(ssm, y, return_loglikelihood=True)
+    npt.assert_allclose(ell, 0.0, atol=1e-12)
+    npt.assert_allclose(fms, jnp.zeros_like(fms), atol=1e-12)
+    # Stationary model started at P∞: prior marginals stay P∞.
+    npt.assert_allclose(fPs, jnp.broadcast_to(ssm.P0, fPs.shape), atol=1e-8)
+
+
+def _random_filtering_elements(rng, n, d):
+    def spd():
+        M = rng.randn(n, d, d)
+        return jnp.asarray(M @ M.transpose(0, 2, 1) + 0.5 * np.eye(d))
+
+    return FilteringElement(
+        A=jnp.asarray(rng.randn(n, d, d)),
+        b=jnp.asarray(rng.randn(n, d)),
+        C=spd(),
+        J=spd() * 0.1,
+        eta=jnp.asarray(rng.randn(n, d)),
+    )
+
+
+def test_filtering_operator_associativity():
+    rng = np.random.RandomState(0)
+    e1, e2, e3 = (
+        jax.tree.map(lambda x: x[i], _random_filtering_elements(rng, 3, 4))
+        for i in range(3)
+    )
+    left = filtering_operator(filtering_operator(e1, e2), e3)
+    right = filtering_operator(e1, filtering_operator(e2, e3))
+    for a, b in zip(left, right):
+        npt.assert_allclose(a, b, atol=1e-8)
+
+
+def test_smoothing_operator_associativity():
+    rng = np.random.RandomState(1)
+    elems = SmoothingElement(
+        E=jnp.asarray(rng.randn(3, 4, 4)),
+        g=jnp.asarray(rng.randn(3, 4)),
+        L=jnp.asarray(rng.randn(3, 4, 4)),
+    )
+    e1, e2, e3 = (jax.tree.map(lambda x: x[i], elems) for i in range(3))
+    left = smoothing_operator(smoothing_operator(e1, e2), e3)
+    right = smoothing_operator(e1, smoothing_operator(e2, e3))
+    for a, b in zip(left, right):
+        npt.assert_allclose(a, b, atol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "kernel",
+    [
+        Matern32(variance=2.0, lengthscales=0.3),
+        Matern52(variance=0.7, lengthscales=1.2),
+    ],
+)
+def test_discretize_matches_matrix_fraction(kernel):
+    """The stationary-identity discretization (Q_k = P∞ − A P∞ Aᵀ) must agree
+    with the reference's matrix-fraction path (pssgp/kernels/base.py:36-46)."""
+    t = jnp.sort(jnp.asarray(np.random.RandomState(2).rand(64)))
+    sde = kernel.get_sde()
+    R = jnp.asarray(0.1).reshape(1, 1)
+    a = discretize(sde, t.reshape(-1, 1), R)
+    b = discretize_mfd(sde, t.reshape(-1, 1), R)
+    npt.assert_allclose(a.Fs, b.Fs, atol=1e-9)
+    npt.assert_allclose(a.Qs, b.Qs, atol=1e-9)
+
+
+def test_parallel_smoother_reverse_equals_explicit_flip():
+    """pks uses associative_scan(reverse=True); check against an explicit
+    flip-scan-flip (the reference's formulation, parallel.py:191-196)."""
+    t, y = _make_data(T=100)
+    ssm = _make_ssm(t)
+    fms, fPs = pkf(ssm, y)
+
+    from parallel_gps_tpu.kalman.parallel import make_smoothing_elements
+
+    elems = make_smoothing_elements(ssm, fms, fPs)
+    flipped = jax.tree.map(lambda x: jnp.flip(x, axis=0), elems)
+    scanned = jax.lax.associative_scan(smoothing_operator, flipped, axis=0)
+    sms_ref = jnp.flip(scanned.g, axis=0)
+    sPs_ref = jnp.flip(scanned.L, axis=0)
+
+    sms, sPs = pks(ssm, fms, fPs)
+    npt.assert_allclose(sms, sms_ref, atol=1e-12)
+    npt.assert_allclose(sPs, sPs_ref, atol=1e-12)

@@ -1,0 +1,125 @@
+"""Golden-value tests of the kernel → SDE compilers.
+
+Pins exact numbers for the RBF and Periodic SDE coefficients, following the
+reference's golden tests (tests/test_rbf.py:26-57, tests/test_periodic.py:29-61).
+The expected matrices are mathematical constants of the order-3 RBF / order-2
+periodic derivations (originally from the paper's MATLAB derivation) — they
+characterize behavior, independent of implementation.
+"""
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+
+from parallel_gps_tpu.kernels import RBF, Periodic, Matern12, Matern32
+from parallel_gps_tpu.kernels.periodic import _offline_coeffs
+
+
+def test_rbf_sde_coefficients():
+    cov = RBF(variance=1.0, lengthscales=0.1, order=3, balancing_iter=5)
+    Pinf, F, L, H, Q = cov.get_sde()
+
+    F_expected = np.array(
+        [
+            [0, 14.520676967550859, 0],
+            [0, 0, 32.857489440296360],
+            [-14.5210953665873, -29.4746060478111, -50.3678777987092],
+        ]
+    )
+    L_expected = np.array([0.0, 0.0, 1.0]).reshape(3, 1)
+    H_expected = np.array([1.0, 0.0, 0.0]).reshape(1, 3)
+    Q_expected = 52.8553179255264
+    Pinf_expected = np.array(
+        [
+            [1.04502531824891, 0.0, -0.301281550265743],
+            [0.0, 0.681741999944955, 0.0],
+            [-0.301281550265743, 0.0, 0.611552410634913],
+        ]
+    )
+
+    npt.assert_array_almost_equal(F, F_expected, decimal=8)
+    npt.assert_array_almost_equal(L, L_expected, decimal=8)
+    npt.assert_array_almost_equal(H, H_expected, decimal=8)
+    npt.assert_array_almost_equal(np.squeeze(Q), Q_expected, decimal=8)
+    npt.assert_array_almost_equal(Pinf, Pinf_expected, decimal=8)
+
+
+def test_rbf_balancing_convergence():
+    """More balancing iterations must not change the model materially
+    (reference: tests/test_rbf.py:49-57)."""
+    a = RBF(variance=1.0, lengthscales=0.1, order=3, balancing_iter=5).get_sde()
+    b = RBF(variance=1.0, lengthscales=0.1, order=3, balancing_iter=15).get_sde()
+    for x, y in zip(a, b):
+        npt.assert_array_almost_equal(x, y, decimal=3)
+
+
+def test_periodic_offline_coeffs():
+    b, K, div_facto_K = _offline_coeffs(2)
+    npt.assert_almost_equal(
+        b, np.array([[1, 0, 0], [0, 2, 0], [2, 0, 2]]), decimal=8
+    )
+    npt.assert_almost_equal(
+        K, np.array([[0, 0, 0], [1, 1, 1], [2, 2, 2]]), decimal=8
+    )
+    npt.assert_almost_equal(
+        div_facto_K,
+        np.array([[1, 1, 1], [1, 1, 1], [0.5, 0.5, 0.5]]),
+        decimal=8,
+    )
+
+
+def test_periodic_sde_coefficients():
+    cov = Periodic(variance=1.0, lengthscales=0.1, period=1.0, order=2)
+    Pinf, F, L, H, Q = cov.get_sde()
+
+    F_expected = np.zeros((6, 6))
+    F_expected[2, 3] = -6.283185307179586
+    F_expected[4, 5] = -12.5663706143592
+    F_expected = F_expected - F_expected.T
+
+    npt.assert_almost_equal(F, F_expected)
+    npt.assert_almost_equal(L, np.eye(6))
+    npt.assert_almost_equal(H, np.array([[1, 0, 1, 0, 1, 0]]))
+    npt.assert_almost_equal(Q, np.zeros((6, 6)))
+    Pinf_expected = np.diag(
+        [
+            1.20739740482544e-19,
+            1.20739740482544e-19,
+            9.64374923981979e-21,
+            9.64374923981979e-21,
+            1.20546865497747e-19,
+            1.20546865497747e-19,
+        ]
+    )
+    npt.assert_almost_equal(Pinf, Pinf_expected)
+
+
+def test_matern_stationary_variance_is_kernel_variance():
+    """k(0) == σ² must hold for the SDE's H P∞ Hᵀ."""
+    for cov in [
+        Matern12(variance=2.0, lengthscales=0.7),
+        Matern32(variance=2.0, lengthscales=0.7),
+    ]:
+        sde = cov.get_sde()
+        k0 = (sde.H @ sde.P0 @ sde.H.T)[0, 0]
+        npt.assert_allclose(k0, 2.0, rtol=1e-10)
+
+
+def test_dense_covariances_match_sde_stationary_covariance():
+    """For each kernel, H expm(F τ) P∞ Hᵀ must reproduce k(τ) — the defining
+    property of the SDE representation."""
+    from jax.scipy.linalg import expm
+    import jax
+
+    taus = jnp.linspace(0.0, 2.0, 9)
+    for cov, tol in [
+        (Matern12(variance=1.3, lengthscales=0.6), 1e-9),
+        (Matern32(variance=1.3, lengthscales=0.6), 1e-9),
+        (Periodic(variance=1.1, lengthscales=0.9, period=0.7, order=10), 1e-6),
+        (RBF(variance=1.3, lengthscales=0.6, order=9), 5e-3),
+    ]:
+        sde = cov.get_sde()
+        k_sde = jax.vmap(
+            lambda tau: (sde.H @ expm(tau * sde.F) @ sde.P0 @ sde.H.T)[0, 0]
+        )(taus)
+        k_dense = cov.dense(jnp.zeros((1,)), taus.reshape(-1, 1))[0]
+        npt.assert_allclose(k_sde, k_dense, atol=tol, rtol=tol)

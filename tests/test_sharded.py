@@ -1,0 +1,104 @@
+"""Multi-device tests on the 8-virtual-CPU mesh (SURVEY.md §4).
+
+Pins the sharded two-level scan against the single-device engines, including
+gradients through the shard_map'ed collectives.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from parallel_gps_tpu.kalman.parallel import pkf, pkfs
+from parallel_gps_tpu.kalman.sequential import kf
+from parallel_gps_tpu.kernels import Matern32, Matern52
+from parallel_gps_tpu.parallel import (
+    make_time_mesh,
+    sharded_pkf,
+    sharded_pkfs,
+)
+from parallel_gps_tpu.toymodels import obs_noise, sinu
+
+
+def _data(T=256, seed=0, with_nans=True):
+    rng = np.random.RandomState(seed)
+    t = np.sort(rng.rand(T))
+    y = obs_noise(sinu(t), 0.1, seed)
+    if with_nans:
+        y[rng.choice(T, T // 6, replace=False)] = np.nan
+    return jnp.asarray(t), jnp.asarray(y).reshape(-1, 1)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_time_mesh()
+
+
+def test_sharded_filter_matches_single_device(mesh):
+    t, y = _data()
+    kernel = Matern32(variance=1.0, lengthscales=0.5)
+    ssm = kernel.get_ssm(t.reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1))
+
+    fms_1, fPs_1, ell_1 = pkf(ssm, y, return_loglikelihood=True)
+    fms_8, fPs_8, ell_8 = jax.jit(
+        lambda s, o: sharded_pkf(s, o, mesh, return_loglikelihood=True)
+    )(ssm, y)
+
+    npt.assert_allclose(fms_1, fms_8, atol=1e-10)
+    npt.assert_allclose(fPs_1, fPs_8, atol=1e-10)
+    npt.assert_allclose(ell_1, ell_8, atol=1e-10)
+
+
+def test_sharded_smoother_matches_single_device(mesh):
+    t, y = _data(T=512, seed=3)
+    kernel = Matern52(variance=0.8, lengthscales=0.4)
+    ssm = kernel.get_ssm(t.reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1))
+
+    sms_1, sPs_1 = pkfs(ssm, y)
+    sms_8, sPs_8 = jax.jit(lambda s, o: sharded_pkfs(s, o, mesh))(ssm, y)
+
+    npt.assert_allclose(sms_1, sms_8, atol=1e-9)
+    npt.assert_allclose(sPs_1, sPs_8, atol=1e-9)
+
+
+def test_sharded_lml_gradients_match(mesh):
+    """Gradients of the LML w.r.t. hyperparameters must flow through the
+    shard_map'ed collectives and match the single-device value."""
+    t, y = _data(T=128, seed=7, with_nans=False)
+    R = jnp.asarray(0.1).reshape(1, 1)
+
+    def lml_single(log_ell):
+        k = Matern32(variance=1.0, lengthscales=jnp.exp(log_ell))
+        ssm = k.get_ssm(t.reshape(-1, 1), R)
+        return kf(ssm, y, return_loglikelihood=True)[2]
+
+    def lml_sharded(log_ell):
+        k = Matern32(variance=1.0, lengthscales=jnp.exp(log_ell))
+        ssm = k.get_ssm(t.reshape(-1, 1), R)
+        return sharded_pkf(ssm, y, mesh, return_loglikelihood=True)[2]
+
+    g1 = jax.grad(lml_single)(jnp.asarray(-0.7))
+    g8 = jax.jit(jax.grad(lml_sharded))(jnp.asarray(-0.7))
+    npt.assert_allclose(g1, g8, rtol=1e-8)
+
+
+def test_batched_gps_vmap_over_mesh(mesh):
+    """64 independent GPs vmapped over the sharded filter (BASELINE.json
+    config 5 batch mode, scaled down)."""
+    t, _ = _data(T=64, with_nans=False)
+    rng = np.random.RandomState(11)
+    ys = jnp.asarray(
+        np.tile(sinu(np.asarray(t)), (16, 1))
+        + np.sqrt(0.1) * rng.randn(16, 64)
+    )[..., None]
+    kernel = Matern32(variance=1.0, lengthscales=0.5)
+    ssm = kernel.get_ssm(t.reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1))
+
+    ells_batched = jax.vmap(
+        lambda y: pkf(ssm, y, return_loglikelihood=True)[2]
+    )(ys)
+    ells_seq = jnp.stack(
+        [kf(ssm, ys[i], return_loglikelihood=True)[2] for i in range(4)]
+    )
+    npt.assert_allclose(ells_batched[:4], ells_seq, atol=1e-9)

@@ -1,0 +1,99 @@
+"""Headline benchmark: parallel Kalman filter+smoother throughput.
+
+Protocol (BASELINE.md): Matern32 state-space GP, N=1M time steps, float32,
+one chip.  Metric = timesteps/s through the full filter+smoother (pkfs).
+
+``vs_baseline``: the reference (EEA-sensors/parallel-gps) commits no numbers
+(BASELINE.md), so the recorded baseline is the sequential O(N)-span Kalman
+engine on the same chip — the architecture class the reference's sequential
+path represents — measured at N_SEQ and extrapolated per-step.  The ratio is
+exactly the paper's span-parallelism claim, measured.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+N = int(os.environ.get("BENCH_N", 1_000_000))
+N_SEQ = int(os.environ.get("BENCH_N_SEQ", 8_192))
+REPS = int(os.environ.get("BENCH_REPS", 5))
+
+
+def _median_time(fn, *args, reps=REPS):
+    import jax
+
+    out = fn(*args)  # compile + warmup
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from parallel_gps_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from parallel_gps_tpu.kalman.parallel import pkfs
+    from parallel_gps_tpu.kalman.sequential import kfs
+    from parallel_gps_tpu.kernels import Matern32
+    from parallel_gps_tpu.toymodels import obs_noise, sinu
+
+    dtype = jnp.float32
+    rng = np.random.RandomState(0)
+    t = np.sort(rng.rand(N)).astype(np.float32) * 4.0
+    y = obs_noise(sinu(t), 0.1, 42).astype(np.float32)
+
+    kernel = Matern32(variance=1.0, lengthscales=0.5)
+    R = jnp.asarray(0.1, dtype).reshape(1, 1)
+    ssm = jax.jit(lambda ts: kernel.get_ssm(ts, R))(
+        jnp.asarray(t, dtype).reshape(-1, 1)
+    )
+    jax.block_until_ready(ssm)
+    ys = jnp.asarray(y, dtype).reshape(-1, 1)
+
+    par = jax.jit(pkfs)
+    t_par, (sms, sPs) = _median_time(par, ssm, ys)
+    finite = bool(
+        jnp.isfinite(sms).all() & jnp.isfinite(sPs).all()
+    )
+    tsps_par = N / t_par
+
+    # Baseline: sequential engine, extrapolated per-step (see docstring).
+    ssm_seq = jax.tree.map(
+        lambda a: a[:N_SEQ] if a.ndim == 3 else a, ssm._replace(P0=ssm.P0)
+    )
+    seq = jax.jit(kfs)
+    t_seq, _ = _median_time(seq, ssm_seq, ys[:N_SEQ], reps=max(2, REPS - 2))
+    tsps_seq = N_SEQ / t_seq
+
+    print(
+        json.dumps(
+            {
+                "metric": f"parallel filter+smoother timesteps/s/chip, N={N}, Matern32 f32",
+                "value": round(tsps_par, 1),
+                "unit": "timesteps/s",
+                "vs_baseline": round(tsps_par / tsps_seq, 3),
+                "baseline": f"sequential-scan engine ({round(tsps_seq, 1)} timesteps/s)",
+                "finite": finite,
+                "wall_s": round(t_par, 4),
+                "device": str(jax.devices()[0].platform),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

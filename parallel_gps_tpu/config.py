@@ -22,6 +22,21 @@ def set_number_balancing_steps(n: int) -> None:
     NUMBER_OF_BALANCING_STEPS = int(n)
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache.
+
+    The deep unrolled associative-scan programs take 1-2 minutes to compile
+    at T=10⁶ (the run itself is ~0.2 s); caching makes every later process
+    skip straight to execution.  Safe to call multiple times.
+    """
+    import os
+
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def default_float():
     """Default floating dtype: float64 iff ``jax_enable_x64`` is on.
 

@@ -1,0 +1,177 @@
+"""Shared experiment machinery: model/covariance factories, the MCMC driver,
+and results persistence (reference: pssgp/experiments/common.py).
+
+TPU-first differences: the device is whatever JAX was initialized with (no
+``--device`` flag juggling — set JAX_PLATFORMS); dtype is a ``--dtype`` flag
+mapped to ``jax_enable_x64``; MCMC runs fully jitted with our own HMC/MALA/
+NUTS kernels instead of TFP's.
+"""
+from __future__ import annotations
+
+import argparse
+import enum
+import time
+
+import numpy as np
+
+
+class ModelEnum(enum.Enum):
+    GP = "gp"  # dense GPR oracle
+    SSGP = "ssgp"  # sequential state-space engine
+    PSSGP = "pssgp"  # parallel (associative-scan) engine
+
+
+class CovarianceEnum(enum.Enum):
+    Matern12 = "Matern12"
+    Matern32 = "Matern32"
+    Matern52 = "Matern52"
+    RBF = "RBF"
+    QP = "QP"
+
+
+class MCMCEnum(enum.Enum):
+    HMC = "hmc"
+    MALA = "mala"
+    NUTS = "nuts"
+
+
+def set_dtype(dtype: str) -> None:
+    import jax
+
+    jax.config.update("jax_enable_x64", dtype == "float64")
+
+
+def get_covariance_function(
+    kind: str,
+    variance: float = 1.0,
+    lengthscales: float = 1.0,
+    rbf_order: int = 6,
+    rbf_balance_iter: int = 10,
+    qp_order: int = 3,
+    period: float = 1.0,
+):
+    """Simple covariance factory (reference: common.py:44-57).
+
+    QP is the quasi-periodic composite Periodic(SE) * Matern32 used by the
+    CO2/sunspot studies (reference: co2/mcmc.py:55-64).
+    """
+    from parallel_gps_tpu import kernels
+
+    kind = CovarianceEnum(kind)
+    if kind in (CovarianceEnum.Matern12, CovarianceEnum.Matern32, CovarianceEnum.Matern52):
+        cls = getattr(kernels, kind.value)
+        return cls(variance=variance, lengthscales=lengthscales)
+    if kind == CovarianceEnum.RBF:
+        return kernels.RBF(
+            variance=variance,
+            lengthscales=lengthscales,
+            order=rbf_order,
+            balancing_iter=rbf_balance_iter,
+        )
+    if kind == CovarianceEnum.QP:
+        periodic = kernels.Periodic(
+            variance=variance,
+            lengthscales=lengthscales,
+            period=period,
+            order=qp_order,
+        )
+        return periodic * kernels.Matern32(
+            variance=1.0, lengthscales=lengthscales
+        )
+    raise ValueError(f"unknown covariance {kind}")
+
+
+def get_model(model: str, data, covariance, noise_variance: float):
+    """Model factory (reference: common.py:60-71)."""
+    from parallel_gps_tpu.models import GPR, StateSpaceGP
+
+    model = ModelEnum(model)
+    if model == ModelEnum.GP:
+        import jax.numpy as jnp
+
+        from parallel_gps_tpu.config import default_float
+
+        dtype = default_float()
+        ts, ys = data
+        return GPR(
+            ts=jnp.asarray(ts, dtype).reshape(-1, 1),
+            ys=jnp.asarray(ys, dtype).reshape(-1, 1),
+            kernel=covariance,
+            noise_variance=jnp.asarray(noise_variance, dtype),
+        )
+    return StateSpaceGP.create(
+        data,
+        covariance,
+        noise_variance=noise_variance,
+        parallel=model == ModelEnum.PSSGP,
+    )
+
+
+def run_one_mcmc(
+    model,
+    priors: dict | None,
+    algo: str = "hmc",
+    n_samples: int = 1000,
+    burnin: int = 100,
+    step_size: float = 0.01,
+    num_leapfrog_steps: int = 10,
+    seed: int = 0,
+    trainable=None,
+):
+    """Sample hyperparameter posteriors; returns (samples_unconstrained pytree,
+    acceptance_rate, wall_seconds).  Failures record NaNs and keep going —
+    the sweep convention of the reference (common.py:74-92)."""
+    import jax
+    from jax.flatten_util import ravel_pytree
+
+    from parallel_gps_tpu.inference import sample_chain
+    from parallel_gps_tpu.inference.mcmc import make_kernel
+    from parallel_gps_tpu.inference.optim import make_log_posterior
+
+    log_post, u0 = make_log_posterior(model, priors, trainable=trainable)
+    _, unravel = ravel_pytree(u0)
+    kernel = make_kernel(
+        algo,
+        lambda x: log_post(unravel(x)),
+        step_size,
+        num_leapfrog_steps=num_leapfrog_steps,
+    )
+    rng = jax.random.PRNGKey(seed)
+    t0 = time.time()
+    try:
+        samples, accept = sample_chain(
+            kernel, u0, log_post, rng, n_samples, burnin
+        )
+        jax.block_until_ready(samples)
+        wall = time.time() - t0
+        return samples, float(np.mean(np.asarray(accept))), wall
+    except Exception as err:  # noqa: BLE001 — NaN-on-failure sweep convention
+        print(f"MCMC failed: {err!r}")
+        nan_samples = jax.tree.map(
+            lambda x: np.full((n_samples,) + np.shape(x), np.nan), u0
+        )
+        return nan_samples, float("nan"), time.time() - t0
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--model", default="pssgp", choices=[m.value for m in ModelEnum])
+    p.add_argument("--cov", default="Matern32", choices=[c.value for c in CovarianceEnum])
+    p.add_argument("--dtype", default="float64", choices=["float32", "float64"])
+    p.add_argument("--noise-variance", type=float, default=0.5)
+    p.add_argument("--rbf-order", type=int, default=6)
+    p.add_argument("--rbf-balance-iter", type=int, default=10)
+    p.add_argument("--qp-order", type=int, default=3)
+    p.add_argument("--out-dir", default="results")
+    p.add_argument("--data-dir", default=None)
+    return p
+
+
+def save_results(out_dir: str, name: str, **arrays) -> str:
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, name + ".npz")
+    np.savez(path, **{k: np.asarray(v) for k, v in arrays.items()})
+    print(f"saved {path}")
+    return path

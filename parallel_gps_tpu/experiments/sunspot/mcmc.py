@@ -1,0 +1,68 @@
+"""Sunspot MCMC experiment (reference: pssgp/experiments/sunspot/mcmc.py):
+HMC posteriors of the Matern32 hyperparameters on n ∈ {3000, 300, 50} months.
+
+Usage::
+
+    python -m parallel_gps_tpu.experiments.sunspot.mcmc --model pssgp \
+        --data-dir /path/with/sunspots.csv
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from parallel_gps_tpu.experiments import common as C
+from parallel_gps_tpu.experiments.sunspot.common import (
+    get_covariance_function,
+    get_data,
+    get_priors,
+)
+
+
+def run(args) -> dict:
+    C.set_dtype(args.dtype)
+    walls, accepts = [], []
+    for i, n in enumerate(args.sizes):
+        t, y = get_data(n, args.data_dir)
+        model = C.get_model(
+            args.model, (t, y), get_covariance_function(), args.noise_variance
+        )
+        samples, acc, wall = C.run_one_mcmc(
+            model,
+            get_priors(args.noise_variance),
+            algo=args.mcmc,
+            n_samples=args.n_samples,
+            burnin=args.burnin,
+            step_size=args.step_size,
+            seed=i,
+        )
+        walls.append(wall)
+        accepts.append(acc)
+        print(f"n={n}: accept={acc:.3f} wall={wall:.1f}s")
+        import jax
+
+        C.save_results(
+            args.out_dir,
+            f"sunspot_mcmc_{args.model}_{args.mcmc}_n{n}",
+            walls=np.asarray(walls),
+            accepts=np.asarray(accepts),
+            **{
+                f"sample_{j}": np.asarray(leaf)
+                for j, leaf in enumerate(jax.tree_util.tree_leaves(samples))
+            },
+        )
+    return {"walls": walls, "accepts": accepts}
+
+
+def main():
+    p = C.base_parser(__doc__)
+    p.add_argument("--sizes", type=int, nargs="+", default=[3000, 300, 50])
+    p.add_argument("--mcmc", default="hmc", choices=[m.value for m in C.MCMCEnum])
+    p.add_argument("--n-samples", type=int, default=1000)
+    p.add_argument("--burnin", type=int, default=100)
+    p.add_argument("--step-size", type=float, default=1.0)
+    p.set_defaults(noise_variance=300.0)
+    run(p.parse_args())
+
+
+if __name__ == "__main__":
+    main()

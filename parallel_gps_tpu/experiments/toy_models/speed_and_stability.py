@@ -1,0 +1,80 @@
+"""Speed & stability sweep (reference:
+pssgp/experiments/toy_models/speed_and_stability.py): wall-time and RMSE of
+posterior prediction over a mesh of (n_train = n_pred) sizes × seeds.
+
+The model object (and hence the compiled XLA program) is reused across seeds
+of a size, so the recorded per-seed wall time excludes compilation after the
+first seed — same amortization as the reference (:73-95).  Failures record
+NaN and continue (the "stability" axis).
+
+Usage::
+
+    python -m parallel_gps_tpu.experiments.toy_models.speed_and_stability \
+        --model pssgp --cov Matern32 --log2-sizes 12 13 14 15 --n-seeds 21
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from parallel_gps_tpu.experiments import common as C
+from parallel_gps_tpu.experiments.toy_models.common import get_data
+from parallel_gps_tpu.misc_utils import rmse
+
+
+def run(args) -> dict:
+    import jax
+
+    C.set_dtype(args.dtype)
+    sizes = [2**p for p in args.log2_sizes]
+    rmses = np.full((len(sizes), args.n_seeds), np.nan)
+    times = np.full((len(sizes), args.n_seeds), np.nan)
+
+    for i, n in enumerate(sizes):
+        cov = C.get_covariance_function(
+            args.cov,
+            variance=1.0,
+            lengthscales=0.1,
+            rbf_order=args.rbf_order,
+            rbf_balance_iter=args.rbf_balance_iter,
+            qp_order=args.qp_order,
+        )
+        for seed in range(args.n_seeds):
+            t, ft, t_pred, ft_pred, y = get_data(
+                seed, n, n, args.data_model, args.noise_variance
+            )
+            try:
+                model = C.get_model(
+                    args.model, (t, y), cov, args.noise_variance
+                )
+                tic = time.time()
+                mean, var = model.predict_f(t_pred)
+                jax.block_until_ready((mean, var))
+                toc = time.time()
+                rmses[i, seed] = rmse(mean, ft_pred)
+                times[i, seed] = toc - tic
+            except Exception as err:  # noqa: BLE001 — NaN-on-failure sweep
+                print(f"n={n} seed={seed} failed: {err!r}")
+            print(
+                f"n={n} seed={seed}: rmse={rmses[i, seed]:.4f} "
+                f"time={times[i, seed]:.3f}s"
+            )
+
+    name = f"speed_stability_{args.model}_{args.cov}_{args.dtype}"
+    C.save_results(
+        args.out_dir, name, sizes=np.asarray(sizes), rmses=rmses, times=times
+    )
+    return {"sizes": sizes, "rmses": rmses, "times": times}
+
+
+def main():
+    p = C.base_parser(__doc__)
+    p.add_argument("--data-model", default="SINE")
+    p.add_argument("--log2-sizes", type=int, nargs="+", default=[12, 13, 14, 15])
+    p.add_argument("--n-seeds", type=int, default=21)
+    run(p.parse_args())
+
+
+if __name__ == "__main__":
+    main()

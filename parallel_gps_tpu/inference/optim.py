@@ -40,22 +40,56 @@ def make_loss(model) -> tuple[Callable, dict]:
     return loss, hypers0
 
 
-def make_log_posterior(model, priors: dict | None = None):
+def make_log_posterior(model, priors: dict | None = None, trainable=None):
     """Unnormalized log posterior over unconstrained hyperparameters:
     LML + Σ prior.log_prob(unconstrained leaf), the reference's MCMC target
     (pssgp/experiments/common.py:96-97 with PriorOn.UNCONSTRAINED,
-    toy_models/mcmc.py:32-44)."""
-    from parallel_gps_tpu.models.params import log_prior
+    toy_models/mcmc.py:32-44).
+
+    ``trainable`` is an optional predicate on dotted leaf paths; leaves it
+    rejects are pinned to their initial values (the reference's
+    ``set_trainable(x, False)``, e.g. co2/mcmc.py:35-39) and excluded from
+    the sampled position.
+    """
+    from parallel_gps_tpu.models.params import log_prior, trainable_mask
 
     loss, hypers0 = make_loss(model)
 
+    if trainable is None:
+
+        def log_post(u):
+            lp = -loss(u)
+            if priors:
+                lp = lp + log_prior(u, priors)
+            return lp
+
+        return log_post, hypers0
+
+    mask = trainable_mask(hypers0, trainable)
+
     def log_post(u):
-        lp = -loss(u)
+        merged = jax.tree.map(
+            lambda m, a, b: a if m else b, mask, u, hypers0
+        )
+        lp = -loss(merged)
         if priors:
-            lp = lp + log_prior(u, priors)
+            lp = lp + log_prior(merged, priors)
         return lp
 
     return log_post, hypers0
+
+
+def _with_priors(loss, priors: dict | None):
+    """Negative log *posterior* loss: MAP objective when priors are given
+    (reference: gpflow ``training_loss`` with priors, sunspot/map.py:74-83)."""
+    if not priors:
+        return loss
+    from parallel_gps_tpu.models.params import log_prior
+
+    def loss_map(u):
+        return loss(u) - log_prior(u, priors)
+
+    return loss_map
 
 
 def fit_adam(
@@ -63,9 +97,12 @@ def fit_adam(
     n_iters: int = 200,
     learning_rate: float = 1e-2,
     trainable: Callable[[str], bool] | None = None,
+    priors: dict | None = None,
 ):
-    """Adam on negative LML; returns (fitted model, loss history)."""
+    """Adam on negative LML (or negative log posterior with ``priors``);
+    returns (fitted model, loss history)."""
     loss, u0 = make_loss(model)
+    loss = _with_priors(loss, priors)
     opt = optax.adam(learning_rate)
     if trainable is not None:
         from parallel_gps_tpu.models.params import trainable_mask
@@ -95,11 +132,13 @@ def fit_adam(
     )
 
 
-def fit_lbfgs(model, n_iters: int = 100, trainable=None):
-    """L-BFGS (with zoom linesearch) on negative LML, fully on-device —
-    the TPU-native replacement for the reference's scipy host loop
+def fit_lbfgs(model, n_iters: int = 100, trainable=None, priors: dict | None = None):
+    """L-BFGS (with zoom linesearch) on negative LML (or negative log
+    posterior with ``priors`` — MAP), fully on-device — the TPU-native
+    replacement for the reference's scipy host loop
     (pssgp/experiments/sunspot/map.py:81)."""
     loss, u0 = make_loss(model)
+    loss = _with_priors(loss, priors)
     if trainable is not None:
         from parallel_gps_tpu.models.params import trainable_mask
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from parallel_gps_tpu.ops.linalg import mvn_logpdf, symmetrize
+from parallel_gps_tpu.ops.linalg import mvn_logpdf, solve_small, symmetrize
 from parallel_gps_tpu.types import LGSSM
 
 
@@ -130,7 +130,7 @@ def filtering_operator(
     # U = A2 (I + C1 J2)⁻¹, via the transposed solve.
     M1 = I + C1 @ J2
     U = jnp.swapaxes(
-        jnp.linalg.solve(jnp.swapaxes(M1, -1, -2), jnp.swapaxes(A2, -1, -2)),
+        solve_small(jnp.swapaxes(M1, -1, -2), jnp.swapaxes(A2, -1, -2)),
         -1,
         -2,
     )
@@ -140,7 +140,7 @@ def filtering_operator(
 
     # V = (I + J2 C1)⁻ᵀ A1, i.e. Vᵀ = A1ᵀ (I + J2 C1)⁻¹.
     M2 = I + J2 @ C1
-    V = jnp.linalg.solve(jnp.swapaxes(M2, -1, -2), A1)
+    V = solve_small(jnp.swapaxes(M2, -1, -2), A1)
     eta = _mv(jnp.swapaxes(V, -1, -2), eta2 - _mv(J2, b1)) + eta1
     J = jnp.swapaxes(V, -1, -2) @ J2 @ A1 + J1
 
@@ -201,7 +201,7 @@ def make_smoothing_elements(
     Pp = F @ P @ jnp.swapaxes(F, -1, -2) + Q
     FP = F @ P
     # E = (Pp⁻¹ F P)ᵀ  via PSD solve.
-    E = jnp.swapaxes(jnp.linalg.solve(symmetrize(Pp), FP), -1, -2)
+    E = jnp.swapaxes(solve_small(symmetrize(Pp), FP), -1, -2)
     g = m - _mv(E @ F, m)
     L = symmetrize(P - E @ Pp @ jnp.swapaxes(E, -1, -2))
 

@@ -19,13 +19,15 @@ from __future__ import annotations
 from functools import reduce
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 from jax import Array
 
 from parallel_gps_tpu import config
-from parallel_gps_tpu.ops.balance import balance_ss
+from parallel_gps_tpu.ops.balance import balance_scale, balance_ss
 from parallel_gps_tpu.ops.disc import discretize
+from parallel_gps_tpu.ops.expm import expm_dt_batched
 from parallel_gps_tpu.ops.lyapunov import solve_lyap_vec
 from parallel_gps_tpu.types import LGSSM, ContinuousDiscreteModel
 
@@ -43,8 +45,26 @@ class SDEKernel:
     def state_dim(self) -> int:
         raise NotImplementedError
 
+    def transitions(self, dts: Array):
+        """Closed-form ``expm(dt_k · F)`` of this kernel's (balanced) SDE, or
+        None to use the generic batched Padé-13 path.  Kernels with analytic
+        matrix exponentials (Matérn: nilpotent shift of a multiple
+        eigenvalue; Periodic: plane rotations) override this — the
+        discretization then costs O(T d²) elementwise work instead of a
+        Padé evaluation, and is exact."""
+        return None
+
     def get_ssm(self, ts: Array, R: Array, t0=0.0) -> LGSSM:
-        return discretize(self.get_sde(), ts, R, t0)
+        sde = self.get_sde()
+        dtype = sde.F.dtype
+
+        def trans(dts):
+            Fs = self.transitions(dts.astype(dtype))
+            if Fs is None:
+                Fs = expm_dt_batched(sde.F, dts.astype(dtype))
+            return Fs
+
+        return discretize(sde, ts, R, t0, transitions=trans)
 
     def __add__(self, other: "SDEKernel") -> "Sum":
         return Sum(kernels=(self, other))
@@ -96,6 +116,37 @@ class Sum(SDEKernel):
 
     def dense(self, X: Array, X2: Array) -> Array:
         return reduce(jnp.add, [k.dense(X, X2) for k in self.kernels])
+
+    def _n_iter(self) -> int:
+        return (
+            self.balancing_iter
+            if self.balancing_iter >= 0
+            else config.NUMBER_OF_BALANCING_STEPS
+        )
+
+    def transitions(self, dts: Array):
+        """Block-diagonal stack of the children's transition operators,
+        conjugated by this Sum's balancing similarity (a block-diagonal F
+        exponentiates blockwise; balancing is a diagonal similarity, so
+        expm(D⁻¹FD) = D⁻¹ expm(F) D)."""
+        sdes = [k.get_sde() for k in self.kernels]
+        children = []
+        for k, s in zip(self.kernels, sdes):
+            Fk = k.transitions(dts)
+            if Fk is None:
+                Fk = expm_dt_batched(s.F, dts)
+            children.append(Fk)
+        T = dts.shape[0]
+        dim = sum(s.F.shape[0] for s in sdes)
+        out = jnp.zeros((T, dim, dim), children[0].dtype)
+        r = 0
+        for Fk in children:
+            dk = Fk.shape[-1]
+            out = out.at[:, r : r + dk, r : r + dk].set(Fk)
+            r += dk
+        F = _block_diag([s.F for s in sdes])
+        d = jax.lax.stop_gradient(balance_scale(F, self._n_iter()))
+        return out * (d[None, None, :] / d[None, :, None])
 
     def __repr__(self):  # avoid flax auto-repr recursion noise in errors
         return f"Sum({', '.join(map(repr, self.kernels))})"
@@ -153,6 +204,38 @@ class Product(SDEKernel):
 
     def dense(self, X: Array, X2: Array) -> Array:
         return reduce(jnp.multiply, [k.dense(X, X2) for k in self.kernels])
+
+    def transitions(self, dts: Array):
+        """Kronecker product of the children's transition operators:
+        F = F1 ⊗ I + I ⊗ F2 has commuting terms, so
+        expm(dt F) = expm(dt F1) ⊗ expm(dt F2); conjugated by this
+        Product's balancing similarity."""
+        sdes = [k.get_sde() for k in self.kernels]
+        children = []
+        for k, s in zip(self.kernels, sdes):
+            Fk = k.transitions(dts)
+            if Fk is None:
+                Fk = expm_dt_batched(s.F, dts)
+            children.append(Fk)
+
+        def bkron(a, b):  # batched Kronecker over the leading T axis
+            T, da, _ = a.shape
+            db = b.shape[-1]
+            return (
+                a[:, :, None, :, None] * b[:, None, :, None, :]
+            ).reshape(T, da * db, da * db)
+
+        out = reduce(bkron, children)
+        F = reduce(lambda F1, F2: _kron_F(F1, F2), [s.F for s in sdes])
+        d = jax.lax.stop_gradient(balance_scale(F, self._n_iter()))
+        return out * (d[None, None, :] / d[None, :, None])
+
+    def _n_iter(self) -> int:
+        return (
+            self.balancing_iter
+            if self.balancing_iter >= 0
+            else config.NUMBER_OF_BALANCING_STEPS
+        )
 
     def __repr__(self):
         return f"Product({', '.join(map(repr, self.kernels))})"

@@ -18,9 +18,11 @@ import jax.numpy as jnp
 from flax import struct
 from jax import Array
 
+import jax
+
 from parallel_gps_tpu import config
 from parallel_gps_tpu.kernels.base import SDEKernel, scaled_dist
-from parallel_gps_tpu.ops.balance import balance_ss
+from parallel_gps_tpu.ops.balance import balance_scale, balance_ss
 from parallel_gps_tpu.ops.lyapunov import solve_lyap_vec
 from parallel_gps_tpu.types import ContinuousDiscreteModel
 
@@ -63,6 +65,11 @@ class Matern12(SDEKernel):
         Pinf = jnp.asarray(self.variance, F.dtype).reshape(1, 1)
         return ContinuousDiscreteModel(Pinf, F, L, H, Q)
 
+    def transitions(self, dts: Array):
+        """expm(dt·(-λ)) — scalar OU transition, exact."""
+        lam = 1.0 / jnp.asarray(self.lengthscales, dts.dtype)
+        return jnp.exp(-lam * dts)[:, None, None]
+
     def dense(self, X: Array, X2: Array) -> Array:
         r = scaled_dist(X, X2, self.lengthscales)
         return self.variance * jnp.exp(-r)
@@ -84,6 +91,17 @@ class Matern32(SDEKernel):
         var = jnp.asarray(self.variance, dtype)
         Pinf = jnp.diag(jnp.stack([var, lam**2 * var]))
         return ContinuousDiscreteModel(Pinf, F, L, H, Q)
+
+    def transitions(self, dts: Array):
+        """Exact closed form: F has the double eigenvalue −λ, so with the
+        nilpotent N = F + λI (N² = 0),
+        expm(t F) = e^{−λt} (I + t N) = e^{−λt} [[1+λt, t], [−λ²t, 1−λt]]."""
+        lam = math.sqrt(3) / jnp.asarray(self.lengthscales, dts.dtype)
+        t = dts
+        e = jnp.exp(-lam * t)
+        row0 = jnp.stack([1.0 + lam * t, t], axis=-1)
+        row1 = jnp.stack([-(lam**2) * t, 1.0 - lam * t], axis=-1)
+        return e[:, None, None] * jnp.stack([row0, row1], axis=-2)
 
     def dense(self, X: Array, X2: Array) -> Array:
         r = math.sqrt(3) * scaled_dist(X, X2, self.lengthscales)
@@ -110,6 +128,27 @@ class Matern52(SDEKernel):
         Fb, Lb, Hb, Qb = balance_ss(F, L, H, Q, n_iter)
         Pinf = solve_lyap_vec(Fb, Lb, Qb)
         return ContinuousDiscreteModel(Pinf, Fb, Lb, Hb, Qb)
+
+    def transitions(self, dts: Array):
+        """Exact closed form: the companion F has the triple eigenvalue −λ,
+        so with nilpotent N = F + λI (N³ = 0),
+        expm(t F) = e^{−λt} (I + t N + t²/2 N²); get_sde balances F by a
+        diagonal similarity D, and expm(D⁻¹FD) = D⁻¹ expm(F) D."""
+        F, _, _, _ = matern_sde(self.variance, self.lengthscales, 3)
+        dtype = dts.dtype
+        lam = math.sqrt(5) / jnp.asarray(self.lengthscales, dtype)
+        eye = jnp.eye(3, dtype=dtype)
+        N = F.astype(dtype) + lam * eye
+        N2 = N @ N
+        t = dts[:, None, None]
+        E = jnp.exp(-lam * t) * (eye + t * N + 0.5 * t * t * N2)
+        n_iter = (
+            self.balancing_iter
+            if self.balancing_iter >= 0
+            else config.NUMBER_OF_BALANCING_STEPS
+        )
+        d = jax.lax.stop_gradient(balance_scale(F, n_iter)).astype(dtype)
+        return E * (d[None, None, :] / d[None, :, None])
 
     def dense(self, X: Array, X2: Array) -> Array:
         r = math.sqrt(5) * scaled_dist(X, X2, self.lengthscales)

@@ -92,6 +92,26 @@ class Periodic(SDEKernel):
         )
         return ContinuousDiscreteModel(Pinf, F, L, H, Q)
 
+    def transitions(self, dts: Array):
+        """Exact closed form: F is a direct sum of plane-rotation generators
+        j·ω₀·[[0,−1],[1,0]], so expm(dt F) is the direct sum of rotations by
+        θ_j = j·ω₀·dt."""
+        dtype = dts.dtype
+        N = self.order
+        w0 = 2.0 * math.pi / jnp.asarray(self.period, dtype)
+        j = jnp.arange(N + 1, dtype=dtype)
+        theta = dts[:, None] * (w0 * j)[None, :]  # (T, N+1)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        T = dts.shape[0]
+        dim = 2 * (N + 1)
+        ev = jnp.arange(N + 1) * 2
+        out = jnp.zeros((T, dim, dim), dtype)
+        out = out.at[:, ev, ev].set(c)
+        out = out.at[:, ev, ev + 1].set(-s)
+        out = out.at[:, ev + 1, ev].set(s)
+        out = out.at[:, ev + 1, ev + 1].set(c)
+        return out
+
     def dense(self, X: Array, X2: Array) -> Array:
         tau = X.reshape(-1, 1) - X2.reshape(-1, 1).T
         s = jnp.sin(math.pi * tau / self.period) / self.lengthscales

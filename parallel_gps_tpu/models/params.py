@@ -111,7 +111,16 @@ def log_prior(tree, priors: dict):
             elif isinstance(entry, jax.tree_util.SequenceKey):
                 parts.append(str(entry.idx))
         dotted = ".".join(parts)
-        for suffix, logpdf in priors.items():
-            if dotted.endswith(suffix):
-                total = total + jnp.sum(logpdf(leaf))
+        # Longest matching suffix wins, at most one prior per leaf — so a
+        # fully-qualified path like "kernels.0.kernels.1.variance" is never
+        # shadowed by a shorter one ("kernels.1.variance") that happens to be
+        # a string suffix of it.
+        matches = [
+            s
+            for s in priors
+            if dotted == s or dotted.endswith("." + s)
+        ]
+        if matches:
+            best = max(matches, key=len)
+            total = total + jnp.sum(priors[best](leaf))
     return total

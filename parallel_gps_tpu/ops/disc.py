@@ -15,11 +15,10 @@ agree for every kernel).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import Array
-from jax.scipy.linalg import expm
 
+from parallel_gps_tpu.ops.expm import expm_dt_batched, expm_pade13
 from parallel_gps_tpu.ops.linalg import symmetrize
 from parallel_gps_tpu.types import LGSSM, ContinuousDiscreteModel
 
@@ -32,10 +31,25 @@ def _dts(ts: Array, t0) -> Array:
     return ts - prev
 
 
-def discretize(sde: ContinuousDiscreteModel, ts: Array, R: Array, t0=0.0) -> LGSSM:
-    """Stationary-initialization discretization (see module docstring)."""
+def discretize(
+    sde: ContinuousDiscreteModel,
+    ts: Array,
+    R: Array,
+    t0=0.0,
+    transitions=None,
+) -> LGSSM:
+    """Stationary-initialization discretization (see module docstring).
+
+    ``transitions``: optional callable ``dts -> (T, d, d)`` supplying
+    closed-form ``expm(dt_k F)`` (kernels with analytic transition operators
+    override this — Matérn nilpotent forms, Periodic rotations); defaults to
+    the batched Padé-13 path.
+    """
     dts = _dts(ts, t0)
-    Fs = jax.vmap(lambda dt: expm(dt * sde.F))(dts)
+    if transitions is not None:
+        Fs = transitions(dts)
+    else:
+        Fs = expm_dt_batched(sde.F, dts)
     P0 = symmetrize(sde.P0)
     Qs = symmetrize(P0[None] - Fs @ P0 @ jnp.swapaxes(Fs, -1, -2))
     return LGSSM(P0, Fs, Qs, sde.H, jnp.asarray(R).reshape(1, 1))
@@ -55,11 +69,7 @@ def discretize_mfd(
     LQL = sde.L @ sde.Q @ sde.L.T
     Phi = jnp.block([[sde.F, LQL], [jnp.zeros_like(sde.F), -sde.F.T]])
 
-    def one(dt):
-        M = expm(dt * Phi)
-        A = M[:n, :n]  # block-triangular structure: equals expm(dt F)
-        Q = M[:n, n:] @ A.T
-        return A, Q
-
-    Fs, Qs = jax.vmap(one)(dts)
+    M = expm_pade13(dts[:, None, None] * Phi[None])
+    Fs = M[:, :n, :n]  # block-triangular structure: equals expm(dt F)
+    Qs = M[:, :n, n:] @ jnp.swapaxes(Fs, -1, -2)
     return LGSSM(sde.P0, Fs, symmetrize(Qs), sde.H, jnp.asarray(R).reshape(1, 1))

@@ -1,0 +1,81 @@
+"""Batched matrix exponential, built for TPU compilation.
+
+``jax.scipy.linalg.expm`` under ``vmap`` is hostile to XLA: its norm-dependent
+Padé-degree selection (``lax.cond``) lowers to computing *every* branch per
+batch element, and its ``matrix_power`` squaring loop adds more; at T=10⁵+
+time steps both compile and run time blow up.  The discretization step needs
+``expm(dt_k · F)`` for T tiny (d ≤ ~32) matrices (reference:
+pssgp/kernels/base.py:36-46), so this module implements one fixed program:
+
+  - Padé-13 (Higham 2005) — a fixed sequence of 6 batched matmuls + one
+    (d, d) solve (closed-form adjugate for d ≤ 3);
+  - per-element scaling by 2^{-k_i} with k_i chosen elementwise from the
+    1-norm, followed by MAX_SQUARINGS masked squarings (``where``-selected,
+    no control flow), so any mix of step sizes compiles to one static graph.
+
+Everything is differentiable (plain arithmetic + linear solve).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+from parallel_gps_tpu.ops.linalg import solve_small
+
+# Padé-13 coefficients (Higham, "The scaling and squaring method for the
+# matrix exponential revisited", 2005).
+_B13 = (
+    64764752532480000.0,
+    32382376266240000.0,
+    7771770303897600.0,
+    1187353796428800.0,
+    129060195264000.0,
+    10559470521600.0,
+    670442572800.0,
+    33522128640.0,
+    1323241920.0,
+    40840800.0,
+    960960.0,
+    16380.0,
+    182.0,
+    1.0,
+)
+_THETA13 = 5.371920351148152  # ||A|| below which Padé-13 is accurate
+MAX_SQUARINGS = 16  # covers ||A|| up to θ13·2^16 ≈ 3.5e5
+
+
+def expm_pade13(A: Array, max_squarings: int = MAX_SQUARINGS) -> Array:
+    """``expm`` over the trailing (d, d) axes, batched over leading axes."""
+    dtype = A.dtype
+    d = A.shape[-1]
+    eye = jnp.eye(d, dtype=dtype)
+
+    # Per-element scaling: k_i = max(0, ceil(log2(norm/θ13))), capped.
+    norm = jnp.max(jnp.sum(jnp.abs(A), axis=-1), axis=-1)  # 1-norm
+    k = jnp.ceil(jnp.log2(jnp.maximum(norm / _THETA13, 1.0)))
+    k = jnp.clip(k, 0, max_squarings)
+    A = A * jnp.exp2(-k)[..., None, None].astype(dtype)
+
+    A2 = A @ A
+    A4 = A2 @ A2
+    A6 = A2 @ A4
+    b = _B13
+    W1 = b[13] * A6 + b[11] * A4 + b[9] * A2
+    W2 = b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * eye
+    U = A @ (A6 @ W1 + W2)
+    Z1 = b[12] * A6 + b[10] * A4 + b[8] * A2
+    V = A6 @ Z1 + b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * eye
+
+    E = solve_small(V - U, V + U)
+
+    # Masked squaring: square while j < k_i, else keep.
+    for j in range(max_squarings):
+        sq = E @ E
+        E = jnp.where((j < k)[..., None, None], sq, E)
+    return E
+
+
+def expm_dt_batched(F: Array, dts: Array, max_squarings: int = MAX_SQUARINGS) -> Array:
+    """``expm(dt_k · F)`` for a (T,) vector of step sizes and one (d, d) F."""
+    A = dts[:, None, None] * F[None]
+    return expm_pade13(A, max_squarings)

@@ -158,3 +158,94 @@ def sharded_pkfs(
 def time_sharding(mesh: Mesh, axis: str = "time") -> NamedSharding:
     """Sharding for (T, ...) arrays: leading axis over the time mesh axis."""
     return NamedSharding(mesh, P(axis))
+
+
+def make_mesh_2d(
+    n_devices: int | None = None,
+    batch: int = 1,
+    batch_axis: str = "batch",
+    time_axis: str = "time",
+) -> Mesh:
+    """2-D (batch × time) mesh: data parallelism over independent GPs on
+    ``batch_axis``, sequence parallelism over the time axis on ``time_axis``."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if n % batch != 0:
+        raise ValueError(f"{n} devices not divisible by batch={batch}")
+    return Mesh(
+        np.asarray(devs).reshape(batch, n // batch),
+        (batch_axis, time_axis),
+    )
+
+
+def _scan_sharded_batched(
+    operator, elems, identity, mesh, batch_axis: str, time_axis: str, reverse: bool
+):
+    """Associative scan over axis 1 (time) of elements with a leading batch
+    axis; batch sharded over ``batch_axis``, time over ``time_axis``."""
+    spec = jax.tree.map(lambda _: P(batch_axis, time_axis), elems)
+
+    def local(e):
+        return jax.vmap(
+            lambda ee: sharded_associative_scan(
+                operator,
+                ee,
+                axis_name=time_axis,
+                identity=identity,
+                reverse=reverse,
+            )
+        )(e)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return fn(elems)
+
+
+def sharded_batched_pkf_lml(
+    lgssm: LGSSM,
+    observations: Array,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+    time_axis: str = "time",
+) -> Array:
+    """Log marginal likelihoods of a batch of independent GPs sharing one
+    LGSSM: observations (B, T, 1) sharded (batch, time); returns (B,) ells.
+
+    The dp×sp composition of BASELINE.json config 5: element construction is
+    plain vectorized work GSPMD splits along both axes; the scans run through
+    the two-level distributed scan with collectives over ``time_axis`` only.
+    """
+    P0, Fs, Qs, H, R = lgssm
+    d = P0.shape[0]
+    dtype = P0.dtype
+    m0 = jnp.zeros((d,), dtype)
+
+    elems = jax.vmap(lambda y: make_filtering_elements(lgssm, y))(observations)
+    final = _scan_sharded_batched(
+        filtering_operator,
+        elems,
+        _filtering_identity(d, dtype),
+        mesh,
+        batch_axis,
+        time_axis,
+        reverse=False,
+    )
+    fms, fPs = final.b, final.C  # (B, T, d), (B, T, d, d)
+
+    ys = observations[..., 0]  # (B, T)
+    mask = jnp.logical_not(jnp.isnan(ys))
+    y = jnp.where(mask[..., None], jnp.nan_to_num(observations), 0.0)
+    B = ys.shape[0]
+    prev_ms = jnp.concatenate(
+        [jnp.broadcast_to(m0, (B, 1, d)), fms[:, :-1]], axis=1
+    )
+    prev_Ps = jnp.concatenate(
+        [jnp.broadcast_to(P0, (B, 1, d, d)), fPs[:, :-1]], axis=1
+    )
+    mps = _mv(Fs[None], prev_ms)
+    Pps = Fs[None] @ prev_Ps @ jnp.swapaxes(Fs, -1, -2)[None] + Qs[None]
+    obs_means = _mv(H[None, None], mps)
+    obs_covs = H[None, None] @ Pps @ H.T + R
+    logprobs = mvn_logpdf(y, obs_means, obs_covs)
+    return jnp.sum(jnp.where(mask, logprobs, 0.0), axis=1)

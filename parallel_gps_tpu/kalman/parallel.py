@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from parallel_gps_tpu.ops.linalg import mvn_logpdf, solve_small, symmetrize
+from parallel_gps_tpu.ops.scan import blocked_associative_scan
 from parallel_gps_tpu.types import LGSSM
 
 
@@ -47,6 +48,26 @@ class SmoothingElement(NamedTuple):
 
 def _mv(M: Array, v: Array) -> Array:
     return (M @ v[..., None])[..., 0]
+
+
+def filtering_identity(d: int, dtype) -> FilteringElement:
+    """Identity of :func:`filtering_operator`: (A=I, b=0, C=0, J=0, eta=0)."""
+    return FilteringElement(
+        A=jnp.eye(d, dtype=dtype),
+        b=jnp.zeros((d,), dtype),
+        C=jnp.zeros((d, d), dtype),
+        J=jnp.zeros((d, d), dtype),
+        eta=jnp.zeros((d,), dtype),
+    )
+
+
+def smoothing_identity(d: int, dtype) -> SmoothingElement:
+    """Identity of :func:`smoothing_operator`: (E=I, g=0, L=0)."""
+    return SmoothingElement(
+        E=jnp.eye(d, dtype=dtype),
+        g=jnp.zeros((d,), dtype),
+        L=jnp.zeros((d, d), dtype),
+    )
 
 
 def make_filtering_elements(
@@ -149,25 +170,43 @@ def filtering_operator(
     )
 
 
+def _use_timelast(lgssm: LGSSM, engine: str) -> bool:
+    if engine == "timelast":
+        return True
+    if engine == "generic":
+        return False
+    # auto: the time-last SoA engine covers d ≤ 3 (closed-form inverses) and
+    # is the TPU fast path; larger state dims use the generic layout.
+    return lgssm.P0.shape[0] <= 3
+
+
 def pkf(
     lgssm: LGSSM,
     observations: Array,
     return_loglikelihood: bool = False,
     max_parallel: int = 0,
+    engine: str = "auto",
 ):
     """Parallel Kalman filter (reference API: pssgp/kalman/parallel.py:121-152).
 
     ``max_parallel`` is accepted for reference-API compatibility and ignored
-    (see module docstring).
+    (see module docstring).  ``engine``: "auto" (time-last SoA fast path for
+    d ≤ 3, else generic), "timelast", or "generic".
     """
     del max_parallel
+    if _use_timelast(lgssm, engine):
+        from parallel_gps_tpu.kalman.timelast import pkf_tl
+
+        return pkf_tl(lgssm, observations, return_loglikelihood)
     P0, Fs, Qs, H, R = lgssm
     dtype = P0.dtype
     d = P0.shape[0]
     m0 = jnp.zeros((d,), dtype)
 
     elems = make_filtering_elements(lgssm, observations)
-    final = jax.lax.associative_scan(filtering_operator, elems, axis=0)
+    final = blocked_associative_scan(
+        filtering_operator, elems, filtering_identity(d, dtype)
+    )
     fms, fPs = final.b, final.C
 
     if not return_loglikelihood:
@@ -226,17 +265,36 @@ def smoothing_operator(
     return SmoothingElement(E=E, g=g, L=L)
 
 
-def pks(lgssm: LGSSM, ms: Array, Ps: Array, max_parallel: int = 0):
+def pks(
+    lgssm: LGSSM,
+    ms: Array,
+    Ps: Array,
+    max_parallel: int = 0,
+    engine: str = "auto",
+):
     """Parallel RTS smoother (reference: pssgp/kalman/parallel.py:187-196)."""
     del max_parallel
+    if _use_timelast(lgssm, engine):
+        from parallel_gps_tpu.kalman.timelast import pks_tl
+
+        return pks_tl(lgssm, ms, Ps)
+    d = lgssm.P0.shape[0]
     elems = make_smoothing_elements(lgssm, ms, Ps)
-    final = jax.lax.associative_scan(
-        smoothing_operator, elems, axis=0, reverse=True
+    final = blocked_associative_scan(
+        smoothing_operator,
+        elems,
+        smoothing_identity(d, lgssm.P0.dtype),
+        reverse=True,
     )
     return final.g, final.L
 
 
-def pkfs(lgssm: LGSSM, observations: Array, max_parallel: int = 0):
+def pkfs(
+    lgssm: LGSSM,
+    observations: Array,
+    max_parallel: int = 0,
+    engine: str = "auto",
+):
     """Parallel filter + smoother (reference: pssgp/kalman/parallel.py:199-201)."""
-    fms, fPs = pkf(lgssm, observations, False)
-    return pks(lgssm, fms, fPs)
+    fms, fPs = pkf(lgssm, observations, False, engine=engine)
+    return pks(lgssm, fms, fPs, engine=engine)

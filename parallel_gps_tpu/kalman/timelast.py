@@ -1,0 +1,368 @@
+"""Time-last (structure-of-arrays) parallel Kalman engine — the TPU fast path.
+
+The generic engine stores scan elements as (T, d, d) arrays.  On TPU the
+trailing two dims land on the (8, 128) register tile, so d ≤ 3 wastes >95% of
+every tile, and the combine's batched tiny solves/matmuls run orders of
+magnitude below VPU speed-of-light (measured ~0.65 s for T=10⁶, d=2 — ~500×
+off the bandwidth bound).
+
+This engine keeps the SAME element algebra (reference:
+pssgp/kalman/parallel.py:13-201) but lays every element component out
+time-LAST — A as (d, d, T), b as (d, T) — so the time axis sits on the
+128-lane vector dimension and every operation in the combine is a fused
+elementwise multiply-add over (T,) planes:
+
+  - d×d matmuls are unrolled broadcast-multiply-reduce over the tiny axes;
+  - the (I + C J)⁻¹ solves use closed-form adjugate inverses (d ≤ 3);
+  - the scan is Kogge-Stone over the lane axis: log2(T) rounds of
+    ``roll(+identity-mask)`` + combine, all elementwise — no strided
+    dynamic slicing, no (T, d, d) relayouts.
+
+Supported for d ≤ 3 (Matérn 1/2, 3/2, 5/2 — the flagship kernels); larger
+state dims fall back to the generic engine automatically (see kalman.parallel).
+
+Everything is plain differentiable JAX; ``jax.grad`` flows through rolls and
+the adjugate formulas.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from parallel_gps_tpu.types import LGSSM
+
+
+class FilteringElementTL(NamedTuple):
+    A: Array  # (d, d, T)
+    b: Array  # (d, T)
+    C: Array  # (d, d, T)
+    J: Array  # (d, d, T)
+    eta: Array  # (d, T)
+
+
+class SmoothingElementTL(NamedTuple):
+    E: Array  # (d, d, T)
+    g: Array  # (d, T)
+    L: Array  # (d, d, T)
+
+
+# --------------------------------------------------------------------------
+# Time-last small-matrix algebra: everything elementwise over the last axis.
+# --------------------------------------------------------------------------
+
+
+def _mm(a: Array, b: Array) -> Array:
+    """(d,d,T) @ (d,d,T) → (d,d,T): out[i,j] = Σ_k a[i,k]·b[k,j]."""
+    return jnp.sum(a[:, :, None, :] * b[None, :, :, :], axis=1)
+
+
+def _mv(a: Array, v: Array) -> Array:
+    """(d,d,T) @ (d,T) → (d,T)."""
+    return jnp.sum(a * v[None, :, :], axis=1)
+
+
+def _mt(a: Array) -> Array:
+    """Transpose over the matrix axes."""
+    return jnp.swapaxes(a, 0, 1)
+
+
+def _sym(a: Array) -> Array:
+    return 0.5 * (a + _mt(a))
+
+
+def _inv(M: Array) -> Array:
+    """Adjugate inverse over (d, d, T), closed form for d ≤ 3."""
+    d = M.shape[0]
+    if d == 1:
+        return 1.0 / M
+    if d == 2:
+        a, b = M[0, 0], M[0, 1]
+        c, e = M[1, 0], M[1, 1]
+        det = a * e - b * c
+        return jnp.stack(
+            [jnp.stack([e, -b]), jnp.stack([-c, a])]
+        ) / det
+    if d == 3:
+        a, b, c = M[0, 0], M[0, 1], M[0, 2]
+        e, f, g = M[1, 0], M[1, 1], M[1, 2]
+        h, i, j = M[2, 0], M[2, 1], M[2, 2]
+        A00 = f * j - g * i
+        A01 = c * i - b * j
+        A02 = b * g - c * f
+        A10 = g * h - e * j
+        A11 = a * j - c * h
+        A12 = c * e - a * g
+        A20 = e * i - f * h
+        A21 = b * h - a * i
+        A22 = a * f - b * e
+        det = a * A00 + b * A10 + c * A20
+        adj = jnp.stack(
+            [
+                jnp.stack([A00, A01, A02]),
+                jnp.stack([A10, A11, A12]),
+                jnp.stack([A20, A21, A22]),
+            ]
+        )
+        return adj / det
+    raise ValueError(f"time-last engine supports d <= 3, got {d}")
+
+
+def _eye(d: int, T: int, dtype) -> Array:
+    return jnp.broadcast_to(jnp.eye(d, dtype=dtype)[:, :, None], (d, d, T))
+
+
+# --------------------------------------------------------------------------
+# Element construction (same math as kalman.parallel.make_filtering_elements)
+# --------------------------------------------------------------------------
+
+
+def make_filtering_elements_tl(
+    lgssm: LGSSM, observations: Array
+) -> FilteringElementTL:
+    P0, Fs, Qs, H, R = lgssm
+    dtype = P0.dtype
+    d = P0.shape[0]
+    T = Fs.shape[0]
+
+    A_std = jnp.moveaxis(Fs, 0, -1)  # (d, d, T)
+    Q = jnp.moveaxis(Qs, 0, -1)
+    h = H[0]  # (d,)
+    r = R[0, 0]
+
+    ys = observations.reshape(T)
+    mask = jnp.logical_not(jnp.isnan(ys))
+    y = jnp.where(mask, jnp.nan_to_num(ys), 0.0)  # (T,)
+
+    HQ = jnp.sum(h[:, None, None] * Q, axis=0)  # (d, T):  (HQ)_j
+    S = jnp.sum(h[:, None] * HQ, axis=0) + r  # (T,)
+    Sinv = 1.0 / S
+    K = HQ * Sinv[None]  # (d, T) == (S⁻¹HQ)ᵀ rows
+    HF = jnp.sum(h[:, None, None] * A_std, axis=0)  # (d, T)
+
+    A_ok = A_std - K[:, None, :] * HF[None, :, :]
+    b_ok = K * y[None]
+    C_ok = Q - K[:, None, :] * HQ[None, :, :]
+    eta_ok = HF * (Sinv * y)[None]
+    J_ok = HF[:, None, :] * HF[None, :, :] * Sinv[None, None]
+
+    m2 = mask[None]
+    m3 = mask[None, None]
+    A = jnp.where(m3, A_ok, A_std)
+    b = jnp.where(m2, b_ok, 0.0)
+    C = jnp.where(m3, C_ok, Q)
+    eta = jnp.where(m2, eta_ok, 0.0)
+    J = jnp.where(m3, J_ok, 0.0)
+
+    # First element: filter step against (m0=0, P0)
+    # (reference: parallel.py:13-43).
+    P0h = P0 @ h  # (d,)
+    S1 = h @ P0h + r
+    K1 = P0h / S1  # (d,)
+    b0_ok = K1 * y[0]
+    C0_ok = P0 - jnp.outer(K1, P0h)
+    S0 = S[0]
+    HF0 = HF[:, 0]
+    eta0_ok = HF0 * (y[0] / S0)
+    J0_ok = jnp.outer(HF0, HF0) / S0
+
+    ok0 = mask[0]
+    b0 = jnp.where(ok0, b0_ok, 0.0)
+    C0 = jnp.where(ok0, C0_ok, P0)
+    eta0 = jnp.where(ok0, eta0_ok, 0.0)
+    J0 = jnp.where(ok0, J0_ok, jnp.zeros((d, d), dtype))
+
+    return FilteringElementTL(
+        A=A.at[:, :, 0].set(jnp.zeros((d, d), dtype)),
+        b=b.at[:, 0].set(b0),
+        C=C.at[:, :, 0].set(C0),
+        J=J.at[:, :, 0].set(J0),
+        eta=eta.at[:, 0].set(eta0),
+    )
+
+
+def filtering_operator_tl(
+    e1: FilteringElementTL, e2: FilteringElementTL
+) -> FilteringElementTL:
+    """Associative combine, identical algebra to
+    kalman.parallel.filtering_operator, fully elementwise over T."""
+    A1, b1, C1, J1, eta1 = e1
+    A2, b2, C2, J2, eta2 = e2
+    d, _, T = A1.shape
+    I = _eye(d, T, A1.dtype)
+
+    U = _mm(A2, _inv(I + _mm(C1, J2)))  # A2 (I + C1 J2)⁻¹
+    A = _mm(U, A1)
+    b = _mv(U, b1 + _mv(C1, eta2)) + b2
+    C = _mm(_mm(U, C1), _mt(A2)) + C2
+
+    W = _mm(_mt(A1), _inv(I + _mm(J2, C1)))  # A1ᵀ (I + J2 C1)⁻¹
+    eta = _mv(W, eta2 - _mv(J2, b1)) + eta1
+    J = _mm(_mm(W, J2), A1) + J1
+
+    return FilteringElementTL(A=A, b=b, C=_sym(C), J=_sym(J), eta=eta)
+
+
+def smoothing_operator_tl(
+    e1: SmoothingElementTL, e2: SmoothingElementTL
+) -> SmoothingElementTL:
+    E1, g1, L1 = e1
+    E2, g2, L2 = e2
+    E = _mm(E2, E1)
+    g = _mv(E2, g1) + g2
+    L = _mm(_mm(E2, L1), _mt(E2)) + L2
+    return SmoothingElementTL(E=E, g=g, L=L)
+
+
+# --------------------------------------------------------------------------
+# Kogge-Stone scan over the lane (last) axis
+# --------------------------------------------------------------------------
+
+
+def kogge_stone_scan_tl(operator, elems, identity, reverse: bool = False):
+    """Inclusive associative scan over the LAST axis via Kogge-Stone:
+    ceil(log2 T) rounds of roll + masked-identity + combine, every round a
+    single fused elementwise pass over the planes.
+
+    ``identity`` leaves are shaped like one element with no T axis
+    (e.g. (d, d)); combining with the identity is exact.
+
+    For ``reverse=True`` accumulates from the right with the later partial
+    applied on the LEFT (matching ``lax.associative_scan(reverse=True)``).
+    """
+    leaves = jax.tree.leaves(elems)
+    T = leaves[0].shape[-1]
+    dtype = leaves[0].dtype
+    n_rounds = max(1, math.ceil(math.log2(T))) if T > 1 else 0
+    idx = jnp.arange(T)
+
+    shift = 1
+    for _ in range(n_rounds):
+        if reverse:
+            mask = idx < T - shift
+
+            def mk(x, ident):
+                rolled = jnp.roll(x, -shift, axis=-1)
+                ident_b = jnp.broadcast_to(
+                    ident[..., None].astype(dtype), x.shape
+                )
+                return jnp.where(mask, rolled, ident_b)
+
+            partial = jax.tree.map(mk, elems, identity)
+            elems = operator(partial, elems)
+        else:
+            mask = idx >= shift
+
+            def mk(x, ident):
+                rolled = jnp.roll(x, shift, axis=-1)
+                ident_b = jnp.broadcast_to(
+                    ident[..., None].astype(dtype), x.shape
+                )
+                return jnp.where(mask, rolled, ident_b)
+
+            partial = jax.tree.map(mk, elems, identity)
+            elems = operator(partial, elems)
+        shift *= 2
+    return elems
+
+
+def filtering_identity_tl(d: int, dtype) -> FilteringElementTL:
+    return FilteringElementTL(
+        A=jnp.eye(d, dtype=dtype),
+        b=jnp.zeros((d,), dtype),
+        C=jnp.zeros((d, d), dtype),
+        J=jnp.zeros((d, d), dtype),
+        eta=jnp.zeros((d,), dtype),
+    )
+
+
+def smoothing_identity_tl(d: int, dtype) -> SmoothingElementTL:
+    return SmoothingElementTL(
+        E=jnp.eye(d, dtype=dtype),
+        g=jnp.zeros((d,), dtype),
+        L=jnp.zeros((d, d), dtype),
+    )
+
+
+# --------------------------------------------------------------------------
+# Engine entry points (same contracts as kalman.parallel.pkf/pks/pkfs)
+# --------------------------------------------------------------------------
+
+
+def pkf_tl(lgssm: LGSSM, observations: Array, return_loglikelihood=False):
+    P0, Fs, Qs, H, R = lgssm
+    d = P0.shape[0]
+    dtype = P0.dtype
+
+    elems = make_filtering_elements_tl(lgssm, observations)
+    final = kogge_stone_scan_tl(
+        filtering_operator_tl, elems, filtering_identity_tl(d, dtype)
+    )
+    fms = jnp.moveaxis(final.b, -1, 0)  # (T, d)
+    fPs = jnp.moveaxis(final.C, -1, 0)  # (T, d, d)
+    if not return_loglikelihood:
+        return fms, fPs
+
+    # Post-hoc vectorized log-likelihood, elementwise time-last
+    # (reference: parallel.py:135-151).
+    T = Fs.shape[0]
+    h = H[0]
+    r = R[0, 0]
+    ys = observations.reshape(T)
+    mask = jnp.logical_not(jnp.isnan(ys))
+    y = jnp.where(mask, jnp.nan_to_num(ys), 0.0)
+
+    A = jnp.moveaxis(Fs, 0, -1)
+    Q = jnp.moveaxis(Qs, 0, -1)
+    m_prev = jnp.concatenate(
+        [jnp.zeros((d, 1), dtype), final.b[:, :-1]], axis=-1
+    )
+    P_prev = jnp.concatenate([P0[:, :, None], final.C[:, :, :-1]], axis=-1)
+    mp = _mv(A, m_prev)  # (d, T)
+    Pp = _mm(_mm(A, P_prev), _mt(A)) + Q
+    mean = jnp.sum(h[:, None] * mp, axis=0)  # (T,)
+    var = jnp.sum(h[:, None] * _mv(Pp, jnp.broadcast_to(h[:, None], (d, T))), axis=0) + r
+    diff = y - mean
+    logprobs = -0.5 * (
+        diff * diff / var + jnp.log(var) + math.log(2.0 * math.pi)
+    )
+    ell = jnp.sum(jnp.where(mask, logprobs, 0.0))
+    return fms, fPs, ell
+
+
+def pks_tl(lgssm: LGSSM, ms: Array, Ps: Array):
+    _, Fs, Qs, *_ = lgssm
+    d = lgssm.P0.shape[0]
+    dtype = lgssm.P0.dtype
+
+    A = jnp.moveaxis(Fs[1:], 0, -1)  # (d, d, T-1)
+    Q = jnp.moveaxis(Qs[1:], 0, -1)
+    m = jnp.moveaxis(ms[:-1], 0, -1)  # (d, T-1)
+    P = jnp.moveaxis(Ps[:-1], 0, -1)
+
+    Pp = _mm(_mm(A, P), _mt(A)) + Q
+    FP = _mm(A, P)
+    E = _mt(_mm(_inv(_sym(Pp)), FP))
+    g = m - _mv(_mm(E, A), m)
+    L = _sym(P - _mm(_mm(E, Pp), _mt(E)))
+
+    elems = SmoothingElementTL(
+        E=jnp.concatenate([E, jnp.zeros((d, d, 1), dtype)], axis=-1),
+        g=jnp.concatenate([g, jnp.moveaxis(ms[-1:], 0, -1)], axis=-1),
+        L=jnp.concatenate([L, jnp.moveaxis(Ps[-1:], 0, -1)], axis=-1),
+    )
+    final = kogge_stone_scan_tl(
+        smoothing_operator_tl,
+        elems,
+        smoothing_identity_tl(d, dtype),
+        reverse=True,
+    )
+    return jnp.moveaxis(final.g, -1, 0), jnp.moveaxis(final.L, -1, 0)
+
+
+def pkfs_tl(lgssm: LGSSM, observations: Array):
+    fms, fPs = pkf_tl(lgssm, observations)
+    return pks_tl(lgssm, fms, fPs)

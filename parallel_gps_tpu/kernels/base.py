@@ -27,7 +27,7 @@ from jax import Array
 from parallel_gps_tpu import config
 from parallel_gps_tpu.ops.balance import balance_scale, balance_ss
 from parallel_gps_tpu.ops.disc import discretize
-from parallel_gps_tpu.ops.expm import expm_dt_batched
+from parallel_gps_tpu.ops.expm import expm1_dt_batched
 from parallel_gps_tpu.ops.lyapunov import solve_lyap_vec
 from parallel_gps_tpu.types import LGSSM, ContinuousDiscreteModel
 
@@ -45,26 +45,36 @@ class SDEKernel:
     def state_dim(self) -> int:
         raise NotImplementedError
 
-    def transitions(self, dts: Array):
-        """Closed-form ``expm(dt_k · F)`` of this kernel's (balanced) SDE, or
-        None to use the generic batched Padé-13 path.  Kernels with analytic
-        matrix exponentials (Matérn: nilpotent shift of a multiple
-        eigenvalue; Periodic: plane rotations) override this — the
-        discretization then costs O(T d²) elementwise work instead of a
-        Padé evaluation, and is exact."""
+    def transitions_m1(self, dts: Array):
+        """Closed-form ``expm(dt_k · F) − I`` of this kernel's (balanced)
+        SDE, or None to use the generic batched Padé-13 expm1 path.
+
+        Kernels with analytic matrix exponentials (Matérn: nilpotent shift
+        of a multiple eigenvalue; Periodic: plane rotations) override this.
+        The minus-identity form is what discretization actually consumes
+        (see ops/disc.py): it keeps ``Q = P − A P Aᵀ`` cancellation-free in
+        float32 at tiny dt, and costs O(T d²) elementwise work."""
         return None
+
+    def transitions(self, dts: Array):
+        """``expm(dt_k · F)``, derived from :meth:`transitions_m1`; None when
+        the kernel has no closed form."""
+        m1 = self.transitions_m1(dts)
+        if m1 is None:
+            return None
+        return m1 + jnp.eye(m1.shape[-1], dtype=m1.dtype)
 
     def get_ssm(self, ts: Array, R: Array, t0=0.0) -> LGSSM:
         sde = self.get_sde()
         dtype = sde.F.dtype
 
-        def trans(dts):
-            Fs = self.transitions(dts.astype(dtype))
-            if Fs is None:
-                Fs = expm_dt_batched(sde.F, dts.astype(dtype))
-            return Fs
+        def trans_m1(dts):
+            Am1 = self.transitions_m1(dts.astype(dtype))
+            if Am1 is None:
+                Am1 = expm1_dt_batched(sde.F, dts.astype(dtype))
+            return Am1
 
-        return discretize(sde, ts, R, t0, transitions=trans)
+        return discretize(sde, ts, R, t0, transitions_m1=trans_m1)
 
     def __add__(self, other: "SDEKernel") -> "Sum":
         return Sum(kernels=(self, other))
@@ -124,25 +134,25 @@ class Sum(SDEKernel):
             else config.NUMBER_OF_BALANCING_STEPS
         )
 
-    def transitions(self, dts: Array):
-        """Block-diagonal stack of the children's transition operators,
+    def transitions_m1(self, dts: Array):
+        """Block-diagonal stack of the children's ``A − I`` operators,
         conjugated by this Sum's balancing similarity (a block-diagonal F
-        exponentiates blockwise; balancing is a diagonal similarity, so
-        expm(D⁻¹FD) = D⁻¹ expm(F) D)."""
+        exponentiates blockwise; subtracting I commutes with both the
+        block-diagonal stacking and the diagonal similarity)."""
         sdes = [k.get_sde() for k in self.kernels]
         children = []
         for k, s in zip(self.kernels, sdes):
-            Fk = k.transitions(dts)
-            if Fk is None:
-                Fk = expm_dt_batched(s.F, dts)
-            children.append(Fk)
+            m1 = k.transitions_m1(dts)
+            if m1 is None:
+                m1 = expm1_dt_batched(s.F, dts)
+            children.append(m1)
         T = dts.shape[0]
         dim = sum(s.F.shape[0] for s in sdes)
         out = jnp.zeros((T, dim, dim), children[0].dtype)
         r = 0
-        for Fk in children:
-            dk = Fk.shape[-1]
-            out = out.at[:, r : r + dk, r : r + dk].set(Fk)
+        for m1 in children:
+            dk = m1.shape[-1]
+            out = out.at[:, r : r + dk, r : r + dk].set(m1)
             r += dk
         F = _block_diag([s.F for s in sdes])
         d = jax.lax.stop_gradient(balance_scale(F, self._n_iter()))
@@ -205,18 +215,18 @@ class Product(SDEKernel):
     def dense(self, X: Array, X2: Array) -> Array:
         return reduce(jnp.multiply, [k.dense(X, X2) for k in self.kernels])
 
-    def transitions(self, dts: Array):
-        """Kronecker product of the children's transition operators:
-        F = F1 ⊗ I + I ⊗ F2 has commuting terms, so
-        expm(dt F) = expm(dt F1) ⊗ expm(dt F2); conjugated by this
+    def transitions_m1(self, dts: Array):
+        """Kronecker form: F = F1 ⊗ I + I ⊗ F2 has commuting terms, so
+        A = A1 ⊗ A2; in minus-identity form (cancellation-free),
+        A − I = Am1_1 ⊗ Am1_2 + Am1_1 ⊗ I + I ⊗ Am1_2.  Conjugated by this
         Product's balancing similarity."""
         sdes = [k.get_sde() for k in self.kernels]
         children = []
         for k, s in zip(self.kernels, sdes):
-            Fk = k.transitions(dts)
-            if Fk is None:
-                Fk = expm_dt_batched(s.F, dts)
-            children.append(Fk)
+            m1 = k.transitions_m1(dts)
+            if m1 is None:
+                m1 = expm1_dt_batched(s.F, dts)
+            children.append(m1)
 
         def bkron(a, b):  # batched Kronecker over the leading T axis
             T, da, _ = a.shape
@@ -225,7 +235,17 @@ class Product(SDEKernel):
                 a[:, :, None, :, None] * b[:, None, :, None, :]
             ).reshape(T, da * db, da * db)
 
-        out = reduce(bkron, children)
+        def fold_m1(am1, bm1):
+            T = am1.shape[0]
+            Ia = jnp.broadcast_to(
+                jnp.eye(am1.shape[-1], dtype=am1.dtype), am1.shape
+            )
+            Ib = jnp.broadcast_to(
+                jnp.eye(bm1.shape[-1], dtype=bm1.dtype), bm1.shape
+            )
+            return bkron(am1, bm1) + bkron(am1, Ib) + bkron(Ia, bm1)
+
+        out = reduce(fold_m1, children)
         F = reduce(lambda F1, F2: _kron_F(F1, F2), [s.F for s in sdes])
         d = jax.lax.stop_gradient(balance_scale(F, self._n_iter()))
         return out * (d[None, None, :] / d[None, :, None])

@@ -65,10 +65,11 @@ class Matern12(SDEKernel):
         Pinf = jnp.asarray(self.variance, F.dtype).reshape(1, 1)
         return ContinuousDiscreteModel(Pinf, F, L, H, Q)
 
-    def transitions(self, dts: Array):
-        """expm(dt·(-λ)) — scalar OU transition, exact."""
+    def transitions_m1(self, dts: Array):
+        """expm(−λ dt) − 1 = expm1(−λ dt) — scalar OU transition, exact and
+        cancellation-free."""
         lam = 1.0 / jnp.asarray(self.lengthscales, dts.dtype)
-        return jnp.exp(-lam * dts)[:, None, None]
+        return jnp.expm1(-lam * dts)[:, None, None]
 
     def dense(self, X: Array, X2: Array) -> Array:
         r = scaled_dist(X, X2, self.lengthscales)
@@ -92,16 +93,21 @@ class Matern32(SDEKernel):
         Pinf = jnp.diag(jnp.stack([var, lam**2 * var]))
         return ContinuousDiscreteModel(Pinf, F, L, H, Q)
 
-    def transitions(self, dts: Array):
+    def transitions_m1(self, dts: Array):
         """Exact closed form: F has the double eigenvalue −λ, so with the
-        nilpotent N = F + λI (N² = 0),
-        expm(t F) = e^{−λt} (I + t N) = e^{−λt} [[1+λt, t], [−λ²t, 1−λt]]."""
+        nilpotent N = F + λI (N² = 0), expm(tF) = e^{−λt}(I + tN) and
+
+            expm(tF) − I = expm1(−λt)·I + e^{−λt}·t·N,
+
+        both terms O(t) — no cancellation at tiny dt."""
         lam = math.sqrt(3) / jnp.asarray(self.lengthscales, dts.dtype)
         t = dts
-        e = jnp.exp(-lam * t)
-        row0 = jnp.stack([1.0 + lam * t, t], axis=-1)
-        row1 = jnp.stack([-(lam**2) * t, 1.0 - lam * t], axis=-1)
-        return e[:, None, None] * jnp.stack([row0, row1], axis=-2)
+        em1 = jnp.expm1(-lam * t)
+        et = jnp.exp(-lam * t) * t
+        # N = [[λ, 1], [−λ², −λ]]
+        row0 = jnp.stack([em1 + et * lam, et], axis=-1)
+        row1 = jnp.stack([-et * lam**2, em1 - et * lam], axis=-1)
+        return jnp.stack([row0, row1], axis=-2)
 
     def dense(self, X: Array, X2: Array) -> Array:
         r = math.sqrt(3) * scaled_dist(X, X2, self.lengthscales)
@@ -129,11 +135,14 @@ class Matern52(SDEKernel):
         Pinf = solve_lyap_vec(Fb, Lb, Qb)
         return ContinuousDiscreteModel(Pinf, Fb, Lb, Hb, Qb)
 
-    def transitions(self, dts: Array):
+    def transitions_m1(self, dts: Array):
         """Exact closed form: the companion F has the triple eigenvalue −λ,
         so with nilpotent N = F + λI (N³ = 0),
-        expm(t F) = e^{−λt} (I + t N + t²/2 N²); get_sde balances F by a
-        diagonal similarity D, and expm(D⁻¹FD) = D⁻¹ expm(F) D."""
+
+            expm(tF) − I = expm1(−λt)·I + e^{−λt}(tN + t²N²/2),
+
+        all terms O(t); get_sde balances F by a diagonal similarity D, and
+        (expm(D⁻¹FD) − I) = D⁻¹(expm(F·t) − I)D."""
         F, _, _, _ = matern_sde(self.variance, self.lengthscales, 3)
         dtype = dts.dtype
         lam = math.sqrt(5) / jnp.asarray(self.lengthscales, dtype)
@@ -141,14 +150,16 @@ class Matern52(SDEKernel):
         N = F.astype(dtype) + lam * eye
         N2 = N @ N
         t = dts[:, None, None]
-        E = jnp.exp(-lam * t) * (eye + t * N + 0.5 * t * t * N2)
+        Em1 = jnp.expm1(-lam * t) * eye + jnp.exp(-lam * t) * (
+            t * N + 0.5 * t * t * N2
+        )
         n_iter = (
             self.balancing_iter
             if self.balancing_iter >= 0
             else config.NUMBER_OF_BALANCING_STEPS
         )
         d = jax.lax.stop_gradient(balance_scale(F, n_iter)).astype(dtype)
-        return E * (d[None, None, :] / d[None, :, None])
+        return Em1 * (d[None, None, :] / d[None, :, None])
 
     def dense(self, X: Array, X2: Array) -> Array:
         r = math.sqrt(5) * scaled_dist(X, X2, self.lengthscales)

@@ -92,24 +92,27 @@ class Periodic(SDEKernel):
         )
         return ContinuousDiscreteModel(Pinf, F, L, H, Q)
 
-    def transitions(self, dts: Array):
+    def transitions_m1(self, dts: Array):
         """Exact closed form: F is a direct sum of plane-rotation generators
-        j·ω₀·[[0,−1],[1,0]], so expm(dt F) is the direct sum of rotations by
-        θ_j = j·ω₀·dt."""
+        j·ω₀·[[0,−1],[1,0]], so expm(dt F) − I is the direct sum of
+        [[cosθ−1, −sinθ], [sinθ, cosθ−1]] with θ_j = j·ω₀·dt; the diagonal
+        uses the half-angle identity cosθ − 1 = −2 sin²(θ/2), which is
+        cancellation-free at tiny dt."""
         dtype = dts.dtype
         N = self.order
         w0 = 2.0 * math.pi / jnp.asarray(self.period, dtype)
         j = jnp.arange(N + 1, dtype=dtype)
         theta = dts[:, None] * (w0 * j)[None, :]  # (T, N+1)
-        c, s = jnp.cos(theta), jnp.sin(theta)
+        cm1 = -2.0 * jnp.sin(0.5 * theta) ** 2
+        s = jnp.sin(theta)
         T = dts.shape[0]
         dim = 2 * (N + 1)
         ev = jnp.arange(N + 1) * 2
         out = jnp.zeros((T, dim, dim), dtype)
-        out = out.at[:, ev, ev].set(c)
+        out = out.at[:, ev, ev].set(cm1)
         out = out.at[:, ev, ev + 1].set(-s)
         out = out.at[:, ev + 1, ev].set(s)
-        out = out.at[:, ev + 1, ev + 1].set(c)
+        out = out.at[:, ev + 1, ev + 1].set(cm1)
         return out
 
     def dense(self, X: Array, X2: Array) -> Array:

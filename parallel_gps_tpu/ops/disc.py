@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
-from parallel_gps_tpu.ops.expm import expm_dt_batched, expm_pade13
+from parallel_gps_tpu.ops.expm import expm1_dt_batched, expm_pade13
 from parallel_gps_tpu.ops.linalg import symmetrize
 from parallel_gps_tpu.types import LGSSM, ContinuousDiscreteModel
 
@@ -36,22 +36,37 @@ def discretize(
     ts: Array,
     R: Array,
     t0=0.0,
-    transitions=None,
+    transitions_m1=None,
 ) -> LGSSM:
     """Stationary-initialization discretization (see module docstring).
 
-    ``transitions``: optional callable ``dts -> (T, d, d)`` supplying
-    closed-form ``expm(dt_k F)`` (kernels with analytic transition operators
-    override this — Matérn nilpotent forms, Periodic rotations); defaults to
-    the batched Padé-13 path.
+    ``transitions_m1``: optional callable ``dts -> (T, d, d)`` supplying the
+    cancellation-free ``expm(dt_k F) − I`` (kernels with analytic transition
+    operators provide this — Matérn nilpotent/expm1 forms, Periodic
+    half-angle rotations); defaults to the batched Padé-13 expm1 path.
+
+    Given Am1 = A − I the process noise is computed as
+
+        Q = P − A P Aᵀ = −(Am1·P + P·Am1ᵀ + Am1·P·Am1ᵀ),
+
+    every term O(dt) with full relative precision — the naive P − A P Aᵀ
+    loses eps/dt relative accuracy and (in float32 at dt ~ 1e−6) destroys
+    positive-definiteness, which is exactly the large-T float32 instability
+    the reference accepts (SURVEY.md §6 stability sweeps) and this form
+    removes.
     """
     dts = _dts(ts, t0)
-    if transitions is not None:
-        Fs = transitions(dts)
+    if transitions_m1 is not None:
+        Am1 = transitions_m1(dts)
     else:
-        Fs = expm_dt_batched(sde.F, dts)
+        Am1 = expm1_dt_batched(sde.F, dts)
+    d = sde.F.shape[0]
+    Fs = Am1 + jnp.eye(d, dtype=Am1.dtype)
     P0 = symmetrize(sde.P0)
-    Qs = symmetrize(P0[None] - Fs @ P0 @ jnp.swapaxes(Fs, -1, -2))
+    AP = Am1 @ P0
+    Qs = symmetrize(
+        -(AP + jnp.swapaxes(AP, -1, -2) + AP @ jnp.swapaxes(Am1, -1, -2))
+    )
     return LGSSM(P0, Fs, Qs, sde.H, jnp.asarray(R).reshape(1, 1))
 
 

@@ -44,8 +44,20 @@ _THETA13 = 5.371920351148152  # ||A|| below which Padé-13 is accurate
 MAX_SQUARINGS = 16  # covers ||A|| up to θ13·2^16 ≈ 3.5e5
 
 
-def expm_pade13(A: Array, max_squarings: int = MAX_SQUARINGS) -> Array:
-    """``expm`` over the trailing (d, d) axes, batched over leading axes."""
+def expm1_pade13(A: Array, max_squarings: int = MAX_SQUARINGS) -> Array:
+    """``expm(A) − I`` over the trailing (d, d) axes, WITHOUT cancellation.
+
+    The Padé-13 approximant is E = (V−U)⁻¹(V+U); subtracting I analytically,
+    E − I = (V−U)⁻¹·2U — exact in floating point because U = A·(polynomial),
+    i.e. O(‖A‖), so no large-minus-large subtraction happens even for
+    ‖A‖ ~ 1e−6.  Squaring propagates the -minus-identity form stably via
+    (E² − I) = (E−I)² + 2(E−I).
+
+    This matters because the discretization needs ``Q_k = P − A P Aᵀ`` with
+    A = I + O(dt): computing A first and subtracting loses ~eps/dt relative
+    accuracy (everything, in f32, at dt ~ 1e−6), while the Am1 = A − I form
+    keeps full precision (see ops/disc.py).
+    """
     dtype = A.dtype
     d = A.shape[-1]
     eye = jnp.eye(d, dtype=dtype)
@@ -66,16 +78,28 @@ def expm_pade13(A: Array, max_squarings: int = MAX_SQUARINGS) -> Array:
     Z1 = b[12] * A6 + b[10] * A4 + b[8] * A2
     V = A6 @ Z1 + b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * eye
 
-    E = solve_small(V - U, V + U)
+    Em1 = solve_small(V - U, 2.0 * U)
 
-    # Masked squaring: square while j < k_i, else keep.
+    # Masked stable squaring of the minus-identity form.
     for j in range(max_squarings):
-        sq = E @ E
-        E = jnp.where((j < k)[..., None, None], sq, E)
-    return E
+        sq = Em1 @ Em1 + 2.0 * Em1
+        Em1 = jnp.where((j < k)[..., None, None], sq, Em1)
+    return Em1
+
+
+def expm_pade13(A: Array, max_squarings: int = MAX_SQUARINGS) -> Array:
+    """``expm`` over the trailing (d, d) axes, batched over leading axes."""
+    d = A.shape[-1]
+    return expm1_pade13(A, max_squarings) + jnp.eye(d, dtype=A.dtype)
 
 
 def expm_dt_batched(F: Array, dts: Array, max_squarings: int = MAX_SQUARINGS) -> Array:
     """``expm(dt_k · F)`` for a (T,) vector of step sizes and one (d, d) F."""
     A = dts[:, None, None] * F[None]
     return expm_pade13(A, max_squarings)
+
+
+def expm1_dt_batched(F: Array, dts: Array, max_squarings: int = MAX_SQUARINGS) -> Array:
+    """``expm(dt_k · F) − I``, cancellation-free (see :func:`expm1_pade13`)."""
+    A = dts[:, None, None] * F[None]
+    return expm1_pade13(A, max_squarings)

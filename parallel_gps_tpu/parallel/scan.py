@@ -21,6 +21,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from parallel_gps_tpu.ops.scan import blocked_associative_scan  # noqa: F401  (re-export)
+
 
 def _exclusive_prefix(operator, totals, identity, my_idx):
     """Exclusive prefix of the gathered per-shard totals for this shard."""
@@ -58,7 +60,7 @@ def sharded_associative_scan(
         # out[i] = ((e_{n-1} ∘ e_{n-2}) ∘ ...) ∘ e_i.  By associativity the
         # incoming "prefix" for shard k is the left-assoc combine of the
         # later shards' totals, applied on the LEFT of each local result.
-        local = jax.lax.associative_scan(operator, elems, axis=0, reverse=True)
+        local = blocked_associative_scan(operator, elems, identity, reverse=True)
         total = jax.tree.map(lambda x: x[0], local)
         totals = jax.lax.all_gather(total, axis_name, axis=0)  # (P, ...)
         # Order totals from last shard to first, then take the exclusive
@@ -70,7 +72,7 @@ def sharded_associative_scan(
         prefix_b = jax.tree.map(lambda x: x[None], prefix)
         return operator(prefix_b, local)
 
-    local = jax.lax.associative_scan(operator, elems, axis=0)
+    local = blocked_associative_scan(operator, elems, identity)
     total = jax.tree.map(lambda x: x[-1], local)
     totals = jax.lax.all_gather(total, axis_name, axis=0)  # (P, ...)
     my_idx = jax.lax.axis_index(axis_name)

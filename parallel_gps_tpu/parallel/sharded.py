@@ -27,9 +27,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from parallel_gps_tpu.kalman.parallel import (
     FilteringElement,
     SmoothingElement,
+    filtering_identity as _filtering_identity_impl,
     filtering_operator,
     make_filtering_elements,
     make_smoothing_elements,
+    smoothing_identity as _smoothing_identity_impl,
     smoothing_operator,
     _mv,
 )
@@ -51,24 +53,9 @@ def make_time_mesh(n_devices: int | None = None, axis: str = "time") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-def _filtering_identity(d: int, dtype) -> FilteringElement:
-    """Identity of the filtering combine: (A=I, b=0, C=0, J=0, eta=0)."""
-    return FilteringElement(
-        A=jnp.eye(d, dtype=dtype),
-        b=jnp.zeros((d,), dtype),
-        C=jnp.zeros((d, d), dtype),
-        J=jnp.zeros((d, d), dtype),
-        eta=jnp.zeros((d,), dtype),
-    )
-
-
-def _smoothing_identity(d: int, dtype) -> SmoothingElement:
-    """Identity of the smoothing combine: (E=I, g=0, L=0)."""
-    return SmoothingElement(
-        E=jnp.eye(d, dtype=dtype),
-        g=jnp.zeros((d,), dtype),
-        L=jnp.zeros((d, d), dtype),
-    )
+# Re-exported element identities (defined next to their operators).
+_filtering_identity = _filtering_identity_impl
+_smoothing_identity = _smoothing_identity_impl
 
 
 def _scan_sharded(operator, elems, identity, mesh, axis: str, reverse: bool):

@@ -194,6 +194,10 @@ def pkf(
     d ≤ 3, else generic), "timelast", or "generic".
     """
     del max_parallel
+    if engine == "pallas":
+        from parallel_gps_tpu.kalman.timelast import pkf_pallas
+
+        return pkf_pallas(lgssm, observations, return_loglikelihood)
     if _use_timelast(lgssm, engine):
         from parallel_gps_tpu.kalman.timelast import pkf_tl
 
@@ -274,6 +278,10 @@ def pks(
 ):
     """Parallel RTS smoother (reference: pssgp/kalman/parallel.py:187-196)."""
     del max_parallel
+    if engine == "pallas":
+        from parallel_gps_tpu.kalman.timelast import pks_pallas
+
+        return pks_pallas(lgssm, ms, Ps)
     if _use_timelast(lgssm, engine):
         from parallel_gps_tpu.kalman.timelast import pks_tl
 

@@ -293,7 +293,7 @@ def smoothing_identity_tl(d: int, dtype) -> SmoothingElementTL:
 
 
 def pkf_tl(lgssm: LGSSM, observations: Array, return_loglikelihood=False):
-    P0, Fs, Qs, H, R = lgssm
+    P0, _, _, _, _ = lgssm
     d = P0.shape[0]
     dtype = P0.dtype
 
@@ -305,9 +305,16 @@ def pkf_tl(lgssm: LGSSM, observations: Array, return_loglikelihood=False):
     fPs = jnp.moveaxis(final.C, -1, 0)  # (T, d, d)
     if not return_loglikelihood:
         return fms, fPs
+    return fms, fPs, _loglik_tl(lgssm, final.b, final.C, observations)
 
-    # Post-hoc vectorized log-likelihood, elementwise time-last
-    # (reference: parallel.py:135-151).
+
+def _loglik_tl(lgssm: LGSSM, b_tl: Array, C_tl: Array, observations: Array):
+    """Post-hoc vectorized log-likelihood, elementwise time-last
+    (reference: parallel.py:135-151).  b_tl (d, T), C_tl (d, d, T) are the
+    scanned filtering moments."""
+    P0, Fs, Qs, H, R = lgssm
+    d = P0.shape[0]
+    dtype = P0.dtype
     T = Fs.shape[0]
     h = H[0]
     r = R[0, 0]
@@ -318,9 +325,9 @@ def pkf_tl(lgssm: LGSSM, observations: Array, return_loglikelihood=False):
     A = jnp.moveaxis(Fs, 0, -1)
     Q = jnp.moveaxis(Qs, 0, -1)
     m_prev = jnp.concatenate(
-        [jnp.zeros((d, 1), dtype), final.b[:, :-1]], axis=-1
+        [jnp.zeros((d, 1), dtype), b_tl[:, :-1]], axis=-1
     )
-    P_prev = jnp.concatenate([P0[:, :, None], final.C[:, :, :-1]], axis=-1)
+    P_prev = jnp.concatenate([P0[:, :, None], C_tl[:, :, :-1]], axis=-1)
     mp = _mv(A, m_prev)  # (d, T)
     Pp = _mm(_mm(A, P_prev), _mt(A)) + Q
     mean = jnp.sum(h[:, None] * mp, axis=0)  # (T,)
@@ -329,11 +336,12 @@ def pkf_tl(lgssm: LGSSM, observations: Array, return_loglikelihood=False):
     logprobs = -0.5 * (
         diff * diff / var + jnp.log(var) + math.log(2.0 * math.pi)
     )
-    ell = jnp.sum(jnp.where(mask, logprobs, 0.0))
-    return fms, fPs, ell
+    return jnp.sum(jnp.where(mask, logprobs, 0.0))
 
 
-def pks_tl(lgssm: LGSSM, ms: Array, Ps: Array):
+def make_smoothing_elements_tl(
+    lgssm: LGSSM, ms: Array, Ps: Array
+) -> SmoothingElementTL:
     _, Fs, Qs, *_ = lgssm
     d = lgssm.P0.shape[0]
     dtype = lgssm.P0.dtype
@@ -349,11 +357,17 @@ def pks_tl(lgssm: LGSSM, ms: Array, Ps: Array):
     g = m - _mv(_mm(E, A), m)
     L = _sym(P - _mm(_mm(E, Pp), _mt(E)))
 
-    elems = SmoothingElementTL(
+    return SmoothingElementTL(
         E=jnp.concatenate([E, jnp.zeros((d, d, 1), dtype)], axis=-1),
         g=jnp.concatenate([g, jnp.moveaxis(ms[-1:], 0, -1)], axis=-1),
         L=jnp.concatenate([L, jnp.moveaxis(Ps[-1:], 0, -1)], axis=-1),
     )
+
+
+def pks_tl(lgssm: LGSSM, ms: Array, Ps: Array):
+    d = lgssm.P0.shape[0]
+    dtype = lgssm.P0.dtype
+    elems = make_smoothing_elements_tl(lgssm, ms, Ps)
     final = kogge_stone_scan_tl(
         smoothing_operator_tl,
         elems,
@@ -366,3 +380,77 @@ def pks_tl(lgssm: LGSSM, ms: Array, Ps: Array):
 def pkfs_tl(lgssm: LGSSM, observations: Array):
     fms, fPs = pkf_tl(lgssm, observations)
     return pks_tl(lgssm, fms, fPs)
+
+
+# --------------------------------------------------------------------------
+# Fused Pallas path (opt-in; no VJP — use the XLA path under jax.grad)
+# --------------------------------------------------------------------------
+
+
+def pkf_pallas(
+    lgssm: LGSSM,
+    observations: Array,
+    return_loglikelihood=False,
+    block: int | None = None,
+    interpret: bool = False,
+):
+    from parallel_gps_tpu.kalman.pallas_scan import (
+        DEFAULT_BLOCK,
+        pallas_plane_scan,
+    )
+
+    P0, Fs, _, _, _ = lgssm
+    d = P0.shape[0]
+    T = Fs.shape[0]
+    e = make_filtering_elements_tl(lgssm, observations)
+    planes = jnp.concatenate(
+        [e.A.reshape(d * d, T), e.b, e.C.reshape(d * d, T),
+         e.J.reshape(d * d, T), e.eta],
+        axis=0,
+    )
+    out = pallas_plane_scan(
+        planes, d, "filter", block=block or DEFAULT_BLOCK, interpret=interpret
+    )
+    b_tl = out[d * d : d * d + d]
+    C_tl = out[d * d + d : 2 * d * d + d].reshape(d, d, T)
+    fms = jnp.moveaxis(b_tl, -1, 0)
+    fPs = jnp.moveaxis(C_tl, -1, 0)
+    if not return_loglikelihood:
+        return fms, fPs
+    return fms, fPs, _loglik_tl(lgssm, b_tl, C_tl, observations)
+
+
+def pks_pallas(
+    lgssm: LGSSM,
+    ms: Array,
+    Ps: Array,
+    block: int | None = None,
+    interpret: bool = False,
+):
+    from parallel_gps_tpu.kalman.pallas_scan import (
+        DEFAULT_BLOCK,
+        pallas_plane_scan,
+    )
+
+    d = lgssm.P0.shape[0]
+    T = ms.shape[0]
+    e = make_smoothing_elements_tl(lgssm, ms, Ps)
+    planes = jnp.concatenate(
+        [e.E.reshape(d * d, T), e.g, e.L.reshape(d * d, T)], axis=0
+    )
+    out = pallas_plane_scan(
+        planes,
+        d,
+        "smoother",
+        reverse=True,
+        block=block or DEFAULT_BLOCK,
+        interpret=interpret,
+    )
+    g_tl = out[d * d : d * d + d]
+    L_tl = out[d * d + d :].reshape(d, d, T)
+    return jnp.moveaxis(g_tl, -1, 0), jnp.moveaxis(L_tl, -1, 0)
+
+
+def pkfs_pallas(lgssm: LGSSM, observations: Array, interpret: bool = False):
+    fms, fPs = pkf_pallas(lgssm, observations, interpret=interpret)
+    return pks_pallas(lgssm, fms, fPs, interpret=interpret)

@@ -30,6 +30,19 @@ def balance_scale(F: Array, n_iter: int) -> Array:
     Unlike the reference's numba routine, a degenerate row/column (zero norm)
     leaves the scale untouched instead of producing NaN.
     """
+    import numpy as np
+
+    if not isinstance(F, jax.core.Tracer):
+        # Concrete (trace-time) input: run the native/host routine instead of
+        # eagerly dispatching the unrolled on-device loop — same semantics,
+        # one C call (native/balance.c; numpy fallback).  The reference's
+        # numba+tf.numpy_function host callback plays this role
+        # (pssgp/kernels/math_utils.py:68).
+        from parallel_gps_tpu.ops.native import balance_scale_host
+
+        scale = balance_scale_host(np.asarray(F, np.float64), int(n_iter))
+        return jnp.asarray(scale, F.dtype)
+
     dim = F.shape[0]
     d = jnp.ones((dim,), dtype=F.dtype)
     eye = jnp.eye(dim, dtype=F.dtype)

@@ -1,0 +1,52 @@
+"""Fused Pallas scan kernels == XLA time-last engine (interpret mode on CPU)."""
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from parallel_gps_tpu.kalman.timelast import (
+    pkf_pallas,
+    pkf_tl,
+    pkfs_tl,
+    pks_pallas,
+)
+from parallel_gps_tpu.kernels import Matern32, Matern52
+from parallel_gps_tpu.toymodels import obs_noise, sinu
+
+
+def _setup(kernel, T, seed=0, with_nans=True):
+    rng = np.random.RandomState(seed)
+    t = np.sort(rng.rand(T))
+    y = obs_noise(sinu(t), 0.1, seed)
+    if with_nans:
+        y[rng.choice(T, T // 9, replace=False)] = np.nan
+    ssm = kernel.get_ssm(
+        jnp.asarray(t).reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1)
+    )
+    return ssm, jnp.asarray(y).reshape(-1, 1)
+
+
+@pytest.mark.parametrize(
+    "kernel,T",
+    [(Matern32(1.0, 0.5), 200), (Matern52(0.8, 0.4), 130)],
+    ids=["m32_T200", "m52_T130"],
+)
+def test_pallas_filter_matches_tl(kernel, T):
+    ssm, ys = _setup(kernel, T)
+    fms_x, fPs_x, ell_x = pkf_tl(ssm, ys, True)
+    fms_p, fPs_p, ell_p = pkf_pallas(
+        ssm, ys, True, block=64, interpret=True
+    )
+    npt.assert_allclose(fms_p, fms_x, rtol=1e-9, atol=1e-10)
+    npt.assert_allclose(fPs_p, fPs_x, rtol=1e-9, atol=1e-10)
+    npt.assert_allclose(ell_p, ell_x, rtol=1e-10)
+
+
+def test_pallas_smoother_matches_tl():
+    kernel = Matern32(1.0, 0.5)
+    ssm, ys = _setup(kernel, 150, seed=3)
+    sms_x, sPs_x = pkfs_tl(ssm, ys)
+    fms, fPs = pkf_pallas(ssm, ys, block=64, interpret=True)
+    sms_p, sPs_p = pks_pallas(ssm, fms, fPs, block=64, interpret=True)
+    npt.assert_allclose(sms_p, sms_x, rtol=1e-8, atol=1e-9)
+    npt.assert_allclose(sPs_p, sPs_x, rtol=1e-8, atol=1e-9)

@@ -7,7 +7,8 @@ published formats (reference behavior: pssgp/experiments/sunspot/common.py:29-33
 pssgp/experiments/co2/common.py:31-51) with plain numpy — no pandas.
 
 File discovery: explicit ``data_dir`` argument, else ``$PGPS_DATA_DIR``,
-else ``./data`` relative to the CWD.
+else ``./data`` relative to the CWD, else the repo-root ``data/`` next to
+this package (the shipped copies).
 """
 from __future__ import annotations
 
@@ -26,6 +27,8 @@ def _find(filename: str, data_dir: str | None) -> str:
     if env:  # colon-separated list of directories
         candidates += [os.path.join(d, filename) for d in env.split(":") if d]
     candidates.append(os.path.join("data", filename))
+    repo_data = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data")
+    candidates.append(os.path.join(repo_data, filename))
     for c in candidates:
         if os.path.exists(c):
             return c

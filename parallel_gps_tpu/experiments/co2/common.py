@@ -42,14 +42,16 @@ def normal_logpdf(mu: float, sigma: float):
 
 
 # Priors mirror reference co2/mcmc.py:42-62; paths address the kernel tree
-# (Sum of (Product of (Periodic, damping M32), trend M32)).
+# (Sum of (Product of (Periodic, damping M32), trend M32)).  The reference
+# never sets prior_on, so these are gpflow-default CONSTRAINED-space priors
+# (evaluated on softplus(u) plus the transform log-Jacobian).
 def get_priors() -> dict:
     return {
-        "kernels.0.kernels.0.lengthscales": normal_logpdf(5.0, 1.0),
-        "kernels.0.kernels.1.variance": normal_logpdf(0.1, 1e-3),
-        "kernels.0.kernels.1.lengthscales": normal_logpdf(50.0, 10.0),
-        "kernels.1.variance": normal_logpdf(1.0, 0.1),
-        "kernels.1.lengthscales": normal_logpdf(100.0, 50.0),
+        "kernels.0.kernels.0.lengthscales": (normal_logpdf(5.0, 1.0), "constrained"),
+        "kernels.0.kernels.1.variance": (normal_logpdf(0.1, 1e-3), "constrained"),
+        "kernels.0.kernels.1.lengthscales": (normal_logpdf(50.0, 10.0), "constrained"),
+        "kernels.1.variance": (normal_logpdf(1.0, 0.1), "constrained"),
+        "kernels.1.lengthscales": (normal_logpdf(100.0, 50.0), "constrained"),
     }
 
 

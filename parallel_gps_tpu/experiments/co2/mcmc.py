@@ -23,7 +23,7 @@ from parallel_gps_tpu.experiments.co2.common import (
 def run(args) -> dict:
     import jax
 
-    C.set_dtype(args.dtype)
+    C.set_dtype(args.dtype, args.platform)
     t, y = get_data(args.n_training, args.data_dir)
     # Center the observations (the model is zero-mean).
     y_mean = float(np.mean(y))

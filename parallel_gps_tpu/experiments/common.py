@@ -35,10 +35,27 @@ class MCMCEnum(enum.Enum):
     NUTS = "nuts"
 
 
-def set_dtype(dtype: str) -> None:
+def set_dtype(dtype: str, platform: str | None = None) -> None:
+    """Configure precision and (optionally) the JAX platform.
+
+    The reference selects devices with a ``--device`` flag
+    (pssgp/experiments/common.py:41); here ``--platform`` plays that role.
+    float64 defaults to the CPU platform: TPUs have no native f64 (emulation
+    is extremely slow and f64 LU is unsupported), exactly like the
+    reference's float64 runs pinning the sequential engine to /cpu:0.
+    Must run before any JAX backend initialization.
+    """
     import jax
 
     jax.config.update("jax_enable_x64", dtype == "float64")
+    if platform in (None, "default") and dtype == "float64":
+        platform = "cpu"
+    if platform and platform != "default":
+        jax.config.update("jax_platforms", platform)
+
+    from parallel_gps_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 def get_covariance_function(
@@ -158,6 +175,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--model", default="pssgp", choices=[m.value for m in ModelEnum])
     p.add_argument("--cov", default="Matern32", choices=[c.value for c in CovarianceEnum])
     p.add_argument("--dtype", default="float64", choices=["float32", "float64"])
+    p.add_argument(
+        "--platform",
+        default="default",
+        help="JAX platform (cpu/tpu/default); float64 defaults to cpu",
+    )
     p.add_argument("--noise-variance", type=float, default=0.5)
     p.add_argument("--rbf-order", type=int, default=6)
     p.add_argument("--rbf-balance-iter", type=int, default=10)

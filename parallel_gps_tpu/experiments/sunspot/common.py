@@ -35,11 +35,19 @@ def normal_logpdf(mu: float, sigma: float):
 
 def get_priors(noise_variance: float) -> dict:
     """Normal priors centered at the initial values with matching scale
-    (reference: sunspot/map.py:30-52)."""
+    (reference: sunspot/map.py:30-52).  The reference never sets prior_on,
+    so these are gpflow-default CONSTRAINED-space priors."""
     return {
-        "kernel.variance": normal_logpdf(MATERN_VARIANCE, MATERN_VARIANCE),
-        "kernel.lengthscales": normal_logpdf(
-            MATERN_LENGTHSCALES, MATERN_LENGTHSCALES
+        "kernel.variance": (
+            normal_logpdf(MATERN_VARIANCE, MATERN_VARIANCE),
+            "constrained",
         ),
-        "noise_variance": normal_logpdf(noise_variance, noise_variance),
+        "kernel.lengthscales": (
+            normal_logpdf(MATERN_LENGTHSCALES, MATERN_LENGTHSCALES),
+            "constrained",
+        ),
+        "noise_variance": (
+            normal_logpdf(noise_variance, noise_variance),
+            "constrained",
+        ),
     }

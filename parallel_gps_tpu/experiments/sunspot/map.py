@@ -28,7 +28,7 @@ from parallel_gps_tpu.experiments.sunspot.common import (
 def run(args) -> dict:
     import jax
 
-    C.set_dtype(args.dtype)
+    C.set_dtype(args.dtype, args.platform)
     out = {}
     for n in args.sizes:
         t, y = get_data(n, args.data_dir)

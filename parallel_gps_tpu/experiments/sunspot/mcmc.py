@@ -19,7 +19,7 @@ from parallel_gps_tpu.experiments.sunspot.common import (
 
 
 def run(args) -> dict:
-    C.set_dtype(args.dtype)
+    C.set_dtype(args.dtype, args.platform)
     walls, accepts = [], []
     for i, n in enumerate(args.sizes):
         t, y = get_data(n, args.data_dir)

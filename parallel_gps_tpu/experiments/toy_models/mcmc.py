@@ -34,7 +34,7 @@ PRIORS = {
 
 
 def run(args) -> dict:
-    C.set_dtype(args.dtype)
+    C.set_dtype(args.dtype, args.platform)
     sizes = [2**p for p in args.log2_sizes]
     walls = np.full((len(sizes),), np.nan)
     accepts = np.full((len(sizes),), np.nan)

@@ -26,7 +26,7 @@ from parallel_gps_tpu.misc_utils import rmse
 def run(args) -> dict:
     import jax
 
-    C.set_dtype(args.dtype)
+    C.set_dtype(args.dtype, args.platform)
     sizes = [2**p for p in args.log2_sizes]
     rmses = np.full((len(sizes), args.n_seeds), np.nan)
     times = np.full((len(sizes), args.n_seeds), np.nan)

@@ -95,11 +95,20 @@ def trainable_mask(tree, predicate: Callable[[str], bool]):
 
 
 def log_prior(tree, priors: dict):
-    """Sum of prior log-densities over matching leaves.
+    """Sum of prior log-densities over matching leaves of the
+    *unconstrained* tree.
 
     ``priors`` maps a dotted-path *suffix* (e.g. ``"kernel.lengthscales"``)
-    to a callable ``logpdf(value) -> scalar``.  Matches the reference's
-    per-parameter prior attachment (pssgp/experiments/toy_models/mcmc.py:30-44).
+    to either
+
+      - a callable ``logpdf(u) -> scalar`` evaluated on the UNCONSTRAINED
+        leaf (reference: gpflow ``PriorOn.UNCONSTRAINED``,
+        pssgp/experiments/toy_models/mcmc.py:30-44), or
+      - a tuple ``(logpdf, "constrained")``: evaluated on the constrained
+        value softplus(u), plus the log-Jacobian of the transform — gpflow's
+        default ``PriorOn.CONSTRAINED`` under unconstrained sampling
+        (reference: sunspot/map.py:30-52, co2/mcmc.py:42-62 set priors
+        without prior_on).
     """
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     total = 0.0
@@ -110,6 +119,8 @@ def log_prior(tree, priors: dict):
                 parts.append(entry.name)
             elif isinstance(entry, jax.tree_util.SequenceKey):
                 parts.append(str(entry.idx))
+            elif isinstance(entry, jax.tree_util.DictKey):
+                parts.append(str(entry.key))
         dotted = ".".join(parts)
         # Longest matching suffix wins, at most one prior per leaf — so a
         # fully-qualified path like "kernels.0.kernels.1.variance" is never
@@ -122,5 +133,17 @@ def log_prior(tree, priors: dict):
         ]
         if matches:
             best = max(matches, key=len)
-            total = total + jnp.sum(priors[best](leaf))
+            spec = priors[best]
+            if isinstance(spec, tuple):
+                logpdf, on = spec
+            else:
+                logpdf, on = spec, "unconstrained"
+            if on == "constrained" and _is_positive(path):
+                value = softplus(leaf)
+                # + log|d softplus(u)/du| = log sigmoid(u) = -softplus(-u)
+                total = total + jnp.sum(logpdf(value)) + jnp.sum(
+                    -jax.nn.softplus(-leaf)
+                )
+            else:
+                total = total + jnp.sum(logpdf(leaf))
     return total

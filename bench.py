@@ -25,17 +25,20 @@ REPS = int(os.environ.get("BENCH_REPS", 5))
 
 
 def _median_time(fn, *args, reps=REPS):
+    """Amortized per-call wall time: enqueue ``reps`` back-to-back calls and
+    force completion with a device-to-host readback.  Per-call sync timing
+    would fold the host↔device round-trip latency into every sample, which
+    measures the link, not the kernel."""
     import jax
+    import jax.numpy as jnp
 
     out = fn(*args)  # compile + warmup
-    jax.block_until_ready(out)
-    times = []
+    _ = float(jnp.sum(jax.tree.leaves(out)[0]))
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)), out
+    _ = float(jnp.sum(jax.tree.leaves(out)[0]))
+    return (time.perf_counter() - t0) / reps, out
 
 
 def main():
@@ -58,7 +61,9 @@ def main():
 
     kernel = Matern32(variance=1.0, lengthscales=0.5)
     R = jnp.asarray(0.1, dtype).reshape(1, 1)
-    ssm = jax.jit(lambda ts: kernel.get_ssm(ts, R))(
+    # Time-last (LGSSMTL) layout: the TPU-native fast path — the whole
+    # filter+smoother pipeline runs with zero (T,d,d) relayouts.
+    ssm = jax.jit(lambda ts: kernel.get_ssm_tl(ts, R))(
         jnp.asarray(t, dtype).reshape(-1, 1)
     )
     jax.block_until_ready(ssm)
@@ -80,11 +85,13 @@ def main():
     tsps_par = N / t_par
 
     # Baseline: sequential engine, extrapolated per-step (see docstring).
-    ssm_seq = jax.tree.map(
-        lambda a: a[:N_SEQ] if a.ndim == 3 else a, ssm._replace(P0=ssm.P0)
+    # The sequential engine consumes the reference (T, d, d) layout.
+    ssm_tf = jax.jit(lambda ts: kernel.get_ssm(ts, R))(
+        jnp.asarray(t[:N_SEQ], dtype).reshape(-1, 1)
     )
+    jax.block_until_ready(ssm_tf)
     seq = jax.jit(kfs)
-    t_seq, _ = _median_time(seq, ssm_seq, ys[:N_SEQ], reps=max(2, REPS - 2))
+    t_seq, _ = _median_time(seq, ssm_tf, ys[:N_SEQ], reps=max(2, REPS - 2))
     tsps_seq = N_SEQ / t_seq
 
     print(

@@ -2,26 +2,27 @@
 
 The XLA time-last engine (kalman/timelast.py) runs each Kogge-Stone round as
 a separate HBM pass (~20 rounds at T=10⁶ → ~20× the optimal memory traffic).
-These kernels fuse the whole *local* scan: each grid step DMAs one block of
-element planes into VMEM, runs every round in-register/VMEM, and writes the
-scanned block plus its total back once — HBM traffic drops to one read and
-one write of the planes per phase.
+The kernels here keep the whole scan in VMEM.  Two generations coexist:
 
-Layout: element components are packed as rows of a (n_comp, T) plane so the
-time axis is the 128-lane dimension and components are sublanes:
-  filtering:  rows = [A(d²), b(d), C(d²), J(d²), eta(d)]   (3d² + 2d rows)
-  smoothing:  rows = [E(d²), g(d), L(d²)]                   (2d² + d rows)
+1. **Plane scan** (``pallas_plane_scan``): element components packed as rows
+   of an (n_comp, T) plane — time on lanes, components on sublanes:
+     filtering:  rows = [A(d²), b(d), C(d²), J(d²), eta(d)]   (3d² + 2d)
+     smoothing:  rows = [E(d²), g(d), L(d²)]                   (2d² + d)
+   A single carry-scan pass: TPU grids run sequentially, so a VMEM scratch
+   carries the running prefix across blocks — one HBM read + one write.
+   Simple, used by the LGSSM-layout wrappers (`pkf_pallas`).
 
-Three-phase structure (same math as ops/scan.py's blocked scan):
-  1. kernel: per-block inclusive Kogge-Stone scan + emit block totals;
-  2. host: exclusive prefix of the B block totals (tiny, XLA);
-  3. kernel: combine each block's incoming prefix into its scanned elements.
+2. **Strip engine** (``strip_filter`` / ``strip_smoother``): the production
+   path (see the section comment below).  Component rows of (1, L) occupy a
+   single sublane — 7/8 of every vreg wasted; the strip engine splits the
+   timeline into 8 sublane-resident strips so every combine op runs on full
+   (8, Lb) registers, and fuses element construction + scan + streaming
+   log-likelihood into the same kernels (~4× faster end-to-end).
 
 Correctness is pinned against the XLA engine in tests (interpret mode on
-CPU; native on TPU).  Everything is wrapped in a ``jax.custom_vjp``-free,
-purely functional API — gradients are NOT defined through the Pallas path
-(the XLA time-last engine is used under ``jax.grad``; see ``pkf``'s engine
-dispatch).
+CPU; native on TPU).  Gradients are NOT defined through the Pallas paths —
+the differentiable XLA time-last engine is used under ``jax.grad`` (see
+``pkf``'s engine dispatch).
 """
 from __future__ import annotations
 
@@ -170,8 +171,9 @@ def _filt_identity_plane(d: int, L: int, dtype) -> Array:
     return jnp.broadcast_to(col, (n, L))
 
 
-def _filt_combine(X1, X2, d):
-    """filtering_operator on packed planes (row lists of (1, L))."""
+def _filt_combine_rows(X1, X2, d):
+    """filtering_operator on row lists (rows of any matching shape);
+    returns the combined element as a flat row list."""
     A1, b1, C1, J1, eta1 = _filt_unpack(X1, d)
     A2, b2, C2, J2, eta2 = _filt_unpack(X2, d)
     U = _mm(A2, _inv(_plus_eye(_mm(C1, J2, d), d), d), d)
@@ -181,7 +183,21 @@ def _filt_combine(X1, X2, d):
     W = _mm(_mt(A1, d), _inv(_plus_eye(_mm(J2, C1, d), d), d), d)
     eta = _vadd(_mv(W, _vsub(eta2, _mv(J2, b1, d), d), d), eta1, d)
     J = _madd(_mm(_mm(W, J2, d), A1, d), J1, d)
-    return _filt_pack(A, b, _sym(C, d), _sym(J, d), eta, d)
+    C = _sym(C, d)
+    J = _sym(J, d)
+    return (
+        [A[i][j] for i in range(d) for j in range(d)]
+        + list(b)
+        + [C[i][j] for i in range(d) for j in range(d)]
+        + [J[i][j] for i in range(d) for j in range(d)]
+        + list(eta)
+    )
+
+
+def _filt_combine(X1, X2, d):
+    """filtering_operator on packed planes (row lists of (1, L))."""
+    rows = _filt_combine_rows(X1, X2, d)
+    return jnp.concatenate(rows, axis=0)
 
 
 def _smooth_unpack(X, d):
@@ -213,13 +229,22 @@ def _smooth_identity_plane(d: int, L: int, dtype) -> Array:
     return jnp.broadcast_to(col, (n, L))
 
 
-def _smooth_combine(X1, X2, d):
+def _smooth_combine_rows(X1, X2, d):
     E1, g1, L1 = _smooth_unpack(X1, d)
     E2, g2, L2 = _smooth_unpack(X2, d)
     E = _mm(E2, E1, d)
     g = _vadd(_mv(E2, g1, d), g2, d)
     L = _madd(_mm(_mm(E2, L1, d), _mt(E2, d), d), L2, d)
-    return _smooth_pack(E, g, L, d)
+    return (
+        [E[i][j] for i in range(d) for j in range(d)]
+        + list(g)
+        + [L[i][j] for i in range(d) for j in range(d)]
+    )
+
+
+def _smooth_combine(X1, X2, d):
+    rows = _smooth_combine_rows(X1, X2, d)
+    return jnp.concatenate(rows, axis=0)
 
 
 # --------------------------------------------------------------------------
@@ -259,48 +284,40 @@ def _local_scan_kernel(x_ref, out_ref, *, d, combine, ident_rows, reverse):
     out_ref[:] = X
 
 
-def _apply_prefix_kernel(x_ref, pref_ref, out_ref, *, d, combine):
-    """Phase 3: combine the block's incoming prefix into every element.
+def _carry_scan_kernel(x_ref, out_ref, carry_ref, *, d, combine, ident_rows, reverse):
+    """Single-pass block scan with a VMEM carry.
 
-    ``pref_ref`` carries the full (n, B) prefix table (lane-aligned block
-    specs can't deliver single columns); the block's own column is selected
-    by grid position."""
+    TPU grids execute sequentially, so the carry scratch persists across
+    grid steps: each step locally Kogge-Stone-scans its block in VMEM,
+    folds in the running prefix (suffix, for reverse) of all earlier
+    (later) blocks, writes the finished block out, and updates the carry
+    with its own total.  ONE read + ONE write of the planes — vs the
+    3-phase design's two full passes plus a strided totals gather (the
+    gather alone cost more than the whole scan at T = 10⁶)."""
     import jax.experimental.pallas as pl
 
-    X = x_ref[:]
-    n, L = X.shape
     i = pl.program_id(0)
-    # Mosaic can't vector-load one dynamic lane; select column i with a
-    # masked lane reduction instead (B is tiny).
-    table = pref_ref[:]  # (n, B)
-    lane = jax.lax.broadcasted_iota(jnp.int32, table.shape, 1)
-    col = jnp.sum(
-        jnp.where(lane == i, table, jnp.zeros_like(table)),
-        axis=1,
-        keepdims=True,
-    )  # (n, 1)
-    P = jnp.broadcast_to(col, (n, L))
-    out_ref[:] = combine(_split_rows(P, n), _split_rows(X, n), d)
+    X = x_ref[:]  # (n_rows, L)
+    n, L = X.shape
 
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = _ident_plane(carry_ref.shape, ident_rows, X.dtype)
 
-def _exclusive_prefix_host(combine_tl, totals, ident_col, reverse):
-    """Exclusive prefix of the (n, B) block totals, as in ops/scan.py."""
-    if reverse:
-        totals = jnp.flip(totals, axis=-1)
+    rounds = max(1, int(math.ceil(math.log2(L)))) if L > 1 else 0
+    ident = _ident_plane(X.shape, ident_rows, X.dtype)
+    shift = 1
+    for _ in range(rounds):
+        mask = _round_mask(X.shape, shift, reverse)
+        partial_ = jnp.where(mask, _roll(X, shift, reverse), ident)
+        X = combine(_split_rows(partial_, n), _split_rows(X, n), d)
+        shift *= 2
 
-    def op(a, b):
-        n = a.shape[0]
-        return combine_tl(
-            [a[i : i + 1] for i in range(n)], [b[i : i + 1] for i in range(n)]
-        )
-
-    inclusive = jax.lax.associative_scan(op, totals, axis=-1)
-    prefixes = jnp.concatenate(
-        [ident_col.astype(totals.dtype), inclusive[:, :-1]], axis=-1
-    )
-    if reverse:
-        prefixes = jnp.flip(prefixes, axis=-1)
-    return prefixes
+    prefix = jnp.broadcast_to(carry_ref[:, 0:1], (n, L))
+    out = combine(_split_rows(prefix, n), _split_rows(X, n), d)
+    out_ref[:] = out
+    total_col = out[:, 0:1] if reverse else out[:, L - 1 : L]
+    carry_ref[:] = jnp.broadcast_to(total_col, carry_ref.shape)
 
 
 def pallas_plane_scan(
@@ -313,7 +330,9 @@ def pallas_plane_scan(
 ) -> Array:
     """Associative scan over the lane axis of packed element planes (n, T).
 
-    kind: "filter" or "smoother".  T is identity-padded to a block multiple.
+    kind: "filter" or "smoother".  T is identity-padded to a block multiple
+    (padding at the FRONT for reverse scans so real elements keep their
+    suffixes intact).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -340,54 +359,661 @@ def pallas_plane_scan(
             if not reverse
             else jnp.concatenate([fill, planes], axis=-1)
         )
-        # NOTE: for reverse scans padding must sit at the FRONT so real
-        # elements keep their suffixes intact; adjust the final slice below.
 
-    local_kernel = partial(
-        _local_scan_kernel,
+    kernel = partial(
+        _carry_scan_kernel,
         d=d,
         combine=combine,
         ident_rows=tuple(i * d + i for i in range(d)),
         reverse=reverse,
     )
-    scanned = pl.pallas_call(
-        local_kernel,
+    # Reverse scans walk the blocks right-to-left so the carry accumulates
+    # the suffix; the same index map is used for input and output.
+    index_map = (lambda i: (0, B - 1 - i)) if reverse else (lambda i: (0, i))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((n, block), index_map, memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((n, block), index_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, Tp), dtype),
+        scratch_shapes=[pltpu.VMEM((n, 128), dtype)],
+        interpret=interpret,
+    )(planes)
+
+    if Tp != T:
+        out = out[:, :T] if not reverse else out[:, Tp - T :]
+    return out
+
+
+def _transpose_kernel(x_ref, out_ref):
+    out_ref[:] = x_ref[:].T
+
+
+def plane_transpose(
+    planes: Array, block: int = 8192, interpret: bool = False
+) -> Array:
+    """(n, T) → (T, n) via blockwise in-VMEM transposes.
+
+    XLA's relayout for tiny-minor-dim transposes runs ~30× below HBM
+    bandwidth at T = 10⁶ (measured ~25 ms for two (T,2,2)↔(2,2,T) moves);
+    this kernel streams (n, block) tiles through VMEM at line rate."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, T = planes.shape
+    B = -(-T // block)
+    Tp = B * block
+    if Tp != T:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((n, Tp - T), planes.dtype)], axis=-1
+        )
+    out = pl.pallas_call(
+        _transpose_kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((n, block), lambda i: (0, i), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (n, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            (block, n), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, Tp), dtype),
+        out_shape=jax.ShapeDtypeStruct((Tp, n), planes.dtype),
         interpret=interpret,
     )(planes)
-    # Block totals: last (first, for reverse) column of each block.
-    if reverse:
-        totals = scanned[:, ::block]
+    return out[:T] if Tp != T else out
+
+
+# --------------------------------------------------------------------------
+# Strip-layout engine: 8 time-strips on sublanes — full VPU utilization.
+#
+# The fused kernels above operate on (1, L) component rows: Mosaic places a
+# single row on one sublane, so every vector op wastes 7/8 of each (8, 128)
+# vreg.  Here the timeline is split into S = 8 contiguous strips laid on the
+# SUBLANE axis: planes become (rows, 8, W) and every combine op runs on
+# (8, Lb) tiles at full register utilization (~8× the arithmetic throughput;
+# XLA's lane→(sublane, lane) reshape is free, unlike its transposes).
+#
+# Two kernel passes per scan:
+#   pass 1: per-strip carry scan (each sublane scans its own strip)
+#           → scanned element planes + per-strip totals;
+#   tiny XLA step: exclusive combine of the 8 strip totals;
+#   pass 2: fold each strip's incoming prefix into its elements, emit the
+#           moments (and, for the filter, the streaming log-likelihood).
+#
+# Same math as the fused kernels (reference pssgp/kalman/parallel.py:13-201);
+# parity is pinned against the XLA time-last engine in tests.
+# --------------------------------------------------------------------------
+
+N_STRIPS = 8
+DEFAULT_STRIP_BLOCK = 1024
+
+
+def _ident_rows_list(n, ident_rows, shape, dtype):
+    return [
+        jnp.ones(shape, dtype) if k in ident_rows else jnp.zeros(shape, dtype)
+        for k in range(n)
+    ]
+
+
+def _strip_ks_rounds(rows, combine_rows, d, ident_rows, reverse):
+    """In-place Kogge-Stone over the lane axis of (S, Lb) row tiles."""
+    S, Lb = rows[0].shape
+    dtype = rows[0].dtype
+    n = len(rows)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
+    idents = _ident_rows_list(n, ident_rows, (S, Lb), dtype)
+    n_rounds = max(1, int(math.ceil(math.log2(Lb)))) if Lb > 1 else 0
+    shift = 1
+    for _ in range(n_rounds):
+        if reverse:
+            mask = lane < (Lb - shift)
+        else:
+            mask = lane >= shift
+        partial_ = [
+            jnp.where(mask, _roll(r, shift, reverse), idents[k])
+            for k, r in enumerate(rows)
+        ]
+        rows = combine_rows(partial_, rows, d)
+        shift *= 2
+    return rows
+
+
+def _strip_filter_scan_kernel(
+    scal_ref, f_ref, q_ref, y_ref, mask_ref, elem_out, totals_out, carry_ref, *, d
+):
+    """Pass 1: build filtering elements and scan each strip's block."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    n = filt_rows(d)
+    d2 = d * d
+    S, Lb = f_ref.shape[1], f_ref.shape[2]
+    dtype = f_ref.dtype
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    @pl.when(i == 0)
+    def _():
+        stacked = jnp.stack(
+            _ident_rows_list(n, ident_rows, (S, carry_ref.shape[2]), dtype),
+            axis=0,
+        )
+        carry_ref[:] = stacked
+
+    F = [[f_ref[a * d + c] for c in range(d)] for a in range(d)]
+    Q = [[q_ref[a * d + c] for c in range(d)] for a in range(d)]
+    y = y_ref[0]  # (S, Lb)
+    mask = mask_ref[0]
+
+    h = [scal_ref[d2 + k] for k in range(d)]
+    r = scal_ref[d2 + d]
+    m0ok = scal_ref[d2 + d + 1]
+    y0 = scal_ref[d2 + d + 2]
+
+    HQ = [sum(h[k] * Q[k][j] for k in range(d)) for j in range(d)]
+    Sv = sum(h[j] * HQ[j] for j in range(d)) + r
+    Sinv = 1.0 / Sv
+    K = [HQ[j] * Sinv for j in range(d)]
+    HF = [sum(h[k] * F[k][j] for k in range(d)) for j in range(d)]
+
+    A = [[F[a][c] - mask * (K[a] * HF[c]) for c in range(d)] for a in range(d)]
+    b = [mask * (K[a] * y) for a in range(d)]
+    C = [[Q[a][c] - mask * (K[a] * HQ[c]) for c in range(d)] for a in range(d)]
+    eta = [mask * (HF[a] * Sinv * y) for a in range(d)]
+    J = [[mask * (HF[a] * HF[c] * Sinv) for c in range(d)] for a in range(d)]
+
+    # First element (global t=0 = strip 0, lane 0, block 0): update against
+    # (m0=0, P0); generic eta/J forms already coincide there.
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
+    is_first = jnp.logical_and(
+        jnp.logical_and(sub == 0, lane == 0), jnp.full((S, Lb), i == 0)
+    )
+    P0v = [[scal_ref[a * d + c] for c in range(d)] for a in range(d)]
+    P0h = [sum(P0v[a][k] * h[k] for k in range(d)) for a in range(d)]
+    S1 = sum(h[k] * P0h[k] for k in range(d)) + r
+    K1 = [P0h[a] / S1 for a in range(d)]
+    for a in range(d):
+        b[a] = jnp.where(is_first, m0ok * (K1[a] * y0), b[a])
+        for c in range(d):
+            A[a][c] = jnp.where(is_first, jnp.zeros_like(A[a][c]), A[a][c])
+            C[a][c] = jnp.where(
+                is_first, P0v[a][c] - m0ok * (K1[a] * P0h[c]), C[a][c]
+            )
+
+    rows = (
+        [A[a][c] for a in range(d) for c in range(d)]
+        + b
+        + [C[a][c] for a in range(d) for c in range(d)]
+        + [J[a][c] for a in range(d) for c in range(d)]
+        + eta
+    )
+    rows = _strip_ks_rounds(rows, _filt_combine_rows, d, ident_rows, False)
+    prefix = [
+        jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb)) for k in range(n)
+    ]
+    out_rows = _filt_combine_rows(prefix, rows, d)
+    stacked = jnp.stack(out_rows, axis=0)  # (n, S, Lb)
+    elem_out[:] = stacked
+    carry_ref[:] = jnp.broadcast_to(
+        stacked[:, :, Lb - 1 : Lb], carry_ref.shape
+    )
+    totals_out[:] = carry_ref[:]
+
+
+def _strip_filter_apply_kernel(
+    scal_ref,
+    elem_ref,
+    pref_ref,
+    f_ref,
+    q_ref,
+    y_ref,
+    mask_ref,
+    b_out,
+    c_out,
+    ell_out,
+    carry_ref,
+    acc_ref,
+    *,
+    d,
+):
+    """Pass 2: fold strip prefixes into elements; emit moments + loglik."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    nB = pl.num_programs(0)
+    n = filt_rows(d)
+    d2 = d * d
+    S, Lb = f_ref.shape[1], f_ref.shape[2]
+    dtype = f_ref.dtype
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+        acc_ref[0] = jnp.zeros((), dtype)
+
+    X = [elem_ref[k] for k in range(n)]
+    pref = [
+        jnp.broadcast_to(pref_ref[k, :, 0:1], (S, Lb)) for k in range(n)
+    ]
+    out_rows = _filt_combine_rows(pref, X, d)
+    b_rows = out_rows[d2 : d2 + d]
+    c_rows = out_rows[d2 + d : 2 * d2 + d]
+    b_out[:] = jnp.stack(b_rows, axis=0)
+    c_out[:] = jnp.stack(c_rows, axis=0)
+
+    # Streaming log-likelihood (reference parallel.py:135-151): previous
+    # moments are a 1-lane shift; lane 0 comes from the previous block's
+    # final moments (carry) or, at block 0, the strip prefix itself (the
+    # filtered moment at the end of the previous strip).
+    F = [[f_ref[a * d + c] for c in range(d)] for a in range(d)]
+    Q = [[q_ref[a * d + c] for c in range(d)] for a in range(d)]
+    y = y_ref[0]
+    mask = mask_ref[0]
+    h = [scal_ref[d2 + k] for k in range(d)]
+    r = scal_ref[d2 + d]
+    P0v = [[scal_ref[a * d + c] for c in range(d)] for a in range(d)]
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
+    lane0 = lane == 0
+    is_first = jnp.logical_and(
+        jnp.logical_and(sub == 0, lane0), jnp.full((S, Lb), i == 0)
+    )
+
+    def prev_col(k_carry, k_pref):
+        blockward = carry_ref[k_carry, :, 0:1]
+        stripward = pref_ref[k_pref, :, 0:1]
+        col = jnp.where(i == 0, stripward, blockward)  # (S, 1)
+        return jnp.broadcast_to(col, (S, Lb))
+
+    mprev = [
+        jnp.where(lane0, prev_col(a, d2 + a), _roll(b_rows[a], 1, False))
+        for a in range(d)
+    ]
+    Pprev = [
+        [
+            jnp.where(
+                lane0,
+                prev_col(d + a * d + c, d2 + d + a * d + c),
+                _roll(c_rows[a * d + c], 1, False),
+            )
+            for c in range(d)
+        ]
+        for a in range(d)
+    ]
+    for a in range(d):
+        mprev[a] = jnp.where(is_first, jnp.zeros_like(mprev[a]), mprev[a])
+        for c in range(d):
+            Pprev[a][c] = jnp.where(is_first, P0v[a][c], Pprev[a][c])
+
+    mp = _mv(F, mprev, d)
+    Pp = _madd(_mm(_mm(F, Pprev, d), _mt(F, d), d), Q, d)
+    mean = sum(h[a] * mp[a] for a in range(d))
+    Pph = [sum(Pp[a][k] * h[k] for k in range(d)) for a in range(d)]
+    var = sum(h[a] * Pph[a] for a in range(d)) + r
+    diff = y - mean
+    logp = -0.5 * (diff * diff / var + jnp.log(var) + math.log(2.0 * math.pi))
+    acc_ref[0] = acc_ref[0] + jnp.sum(jnp.where(mask > 0, logp, 0.0))
+
+    carry_cols = jnp.concatenate(
+        [jnp.stack(b_rows, axis=0), jnp.stack(c_rows, axis=0)], axis=0
+    )[:, :, Lb - 1 : Lb]
+    carry_ref[:] = jnp.broadcast_to(carry_cols, carry_ref.shape)
+
+    @pl.when(i == nB - 1)
+    def _():
+        ell_out[0] = acc_ref[0]
+
+
+def _strip_exclusive_prefixes(totals, d, combine_rows, ident_rows, reverse):
+    """Exclusive prefixes of the (n, S) strip totals — 7 tiny combines."""
+    n, S = totals.shape
+    ident = [
+        jnp.ones((1, 1), totals.dtype)
+        if k in ident_rows
+        else jnp.zeros((1, 1), totals.dtype)
+        for k in range(n)
+    ]
+
+    def col(s):
+        return [totals[k : k + 1, s : s + 1] for k in range(n)]
+
+    prefs = [None] * S
+    if not reverse:
+        prefs[0] = ident
+        for s in range(1, S):
+            prefs[s] = combine_rows(prefs[s - 1], col(s - 1), d)
     else:
-        totals = scanned[:, block - 1 :: block]
+        prefs[S - 1] = ident
+        for s in range(S - 2, -1, -1):
+            prefs[s] = combine_rows(prefs[s + 1], col(s + 1), d)
+    cols = [jnp.concatenate(p, axis=0) for p in prefs]  # each (n, 1)
+    return jnp.concatenate(cols, axis=1)  # (n, S)
 
-    def combine_tl(a_rows, b_rows):
-        return combine(a_rows, b_rows, d)
 
-    prefixes = _exclusive_prefix_host(combine_tl, totals, ident_col, reverse)
+def strip_filter(
+    Fs_tl: Array,
+    Qs_tl: Array,
+    P0: Array,
+    H: Array,
+    R: Array,
+    observations: Array,
+    block: int = DEFAULT_STRIP_BLOCK,
+    interpret: bool = False,
+):
+    """Strip-layout fused filter; returns (b_tl (d,T), C_tl (d,d,T), ell)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    apply_kernel = partial(_apply_prefix_kernel, d=d, combine=combine)
-    out = pl.pallas_call(
-        apply_kernel,
+    d = P0.shape[0]
+    d2 = d * d
+    n = filt_rows(d)
+    T = Fs_tl.shape[-1]
+    dtype = P0.dtype
+    S = N_STRIPS
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    ys = observations.reshape(T)
+    mask = jnp.logical_not(jnp.isnan(ys))
+    y = jnp.where(mask, jnp.nan_to_num(ys), 0.0)
+    maskf = mask.astype(dtype)
+
+    W = -(-T // (S * block)) * block
+    Tp = S * W
+    B = W // block
+
+    def pad_end(x, fill):
+        if Tp == T:
+            return x
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(fill, x.shape[:-1] + (Tp - T,))], axis=-1
+        )
+
+    eye_col = jnp.eye(d, dtype=dtype).reshape(d2, 1)
+    F_st = pad_end(Fs_tl.reshape(d2, T), eye_col).reshape(d2, S, W)
+    Q_st = pad_end(Qs_tl.reshape(d2, T), jnp.zeros((d2, 1), dtype)).reshape(
+        d2, S, W
+    )
+    y_st = pad_end(y[None], jnp.zeros((1, 1), dtype)).reshape(1, S, W)
+    m_st = pad_end(maskf[None], jnp.zeros((1, 1), dtype)).reshape(1, S, W)
+
+    scal = jnp.concatenate(
+        [
+            P0.reshape(d2),
+            H[0].astype(dtype),
+            R.reshape(1).astype(dtype),
+            maskf[0:1],
+            y[0:1],
+        ]
+    )
+
+    mk = lambda nrows, im: pl.BlockSpec(  # noqa: E731
+        (nrows, S, block), im, memory_space=pltpu.VMEM
+    )
+    fwd = lambda i: (0, 0, i)  # noqa: E731
+
+    elems, totals = pl.pallas_call(
+        partial(_strip_filter_scan_kernel, d=d),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((n, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            mk(d2, fwd),
+            mk(d2, fwd),
+            mk(1, fwd),
+            mk(1, fwd),
         ],
-        out_specs=pl.BlockSpec(
-            (n, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        out_specs=(
+            mk(n, fwd),
+            pl.BlockSpec((n, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((n, Tp), dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, S, W), dtype),
+            jax.ShapeDtypeStruct((n, S, 128), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((n, S, 128), dtype)],
         interpret=interpret,
-    )(scanned, prefixes)
+    )(scal, F_st, Q_st, y_st, m_st)
 
-    if Tp != T:
-        out = out[:, :T] if not reverse else out[:, Tp - T :]
-    return out
+    prefixes = _strip_exclusive_prefixes(
+        totals[:, :, 0], d, _filt_combine_rows, ident_rows, reverse=False
+    )
+    pref_v = jnp.broadcast_to(prefixes[:, :, None], (n, S, 128))
+
+    b_st, c_st, ell = pl.pallas_call(
+        partial(_strip_filter_apply_kernel, d=d),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            mk(n, fwd),
+            pl.BlockSpec((n, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            mk(d2, fwd),
+            mk(d2, fwd),
+            mk(1, fwd),
+            mk(1, fwd),
+        ],
+        out_specs=(
+            mk(d, fwd),
+            mk(d2, fwd),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, S, W), dtype),
+            jax.ShapeDtypeStruct((d2, S, W), dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d + d2, S, 128), dtype),
+            pltpu.SMEM((1,), dtype),
+        ],
+        interpret=interpret,
+    )(scal, elems, pref_v, F_st, Q_st, y_st, m_st)
+
+    b_tl = b_st.reshape(d, Tp)[:, :T]
+    C_tl = c_st.reshape(d2, Tp)[:, :T].reshape(d, d, T)
+    return b_tl, C_tl, ell[0]
+
+
+def _strip_smoother_scan_kernel(
+    f_ref, q_ref, b_ref, c_ref, fb_ref, qb_ref, elem_out, totals_out, carry_ref, *, d
+):
+    """Pass 1 (reverse): build smoothing elements in-VMEM and scan blocks
+    right-to-left per strip.  Cross-block F/Q columns ride the carry; the
+    cross-strip boundary columns come from fb/qb (precomputed outside)."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    n = smooth_rows(d)
+    d2 = d * d
+    S, Lb = f_ref.shape[1], f_ref.shape[2]
+    dtype = f_ref.dtype
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    @pl.when(i == 0)
+    def _():
+        pre = jnp.stack(
+            _ident_rows_list(n, ident_rows, (S, carry_ref.shape[2]), dtype),
+            axis=0,
+        )
+        carry_ref[0:n] = pre
+        carry_ref[n:] = jnp.zeros_like(carry_ref[n:])
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 0)
+    is_last_lane = lane == (Lb - 1)
+
+    def next_val(base_ref, k, stash_row, bound_ref):
+        rolled = _roll(base_ref[k], 1, True)
+        stash = carry_ref[n + stash_row + k, :, 0:1]
+        bound = bound_ref[k, :, 0:1]
+        col = jnp.where(i == 0, bound, stash)
+        return jnp.where(is_last_lane, jnp.broadcast_to(col, (S, Lb)), rolled)
+
+    Fn = [[next_val(f_ref, a * d + c, 0, fb_ref) for c in range(d)] for a in range(d)]
+    Qn = [
+        [next_val(q_ref, a * d + c, d2, qb_ref) for c in range(d)]
+        for a in range(d)
+    ]
+    m = [b_ref[a] for a in range(d)]
+    P = [[c_ref[a * d + c] for c in range(d)] for a in range(d)]
+
+    FP = _mm(Fn, P, d)
+    Pp = _sym(_madd(_mm(FP, _mt(Fn, d), d), Qn, d), d)
+    E = _mt(_mm(_inv(Pp, d), FP, d), d)
+    g = _vsub(m, _mv(_mm(E, Fn, d), m, d), d)
+    Lm = _sym(
+        [
+            [
+                P[a][c]
+                - sum(
+                    E[a][k1] * sum(Pp[k1][k2] * E[c][k2] for k2 in range(d))
+                    for k1 in range(d)
+                )
+                for c in range(d)
+            ]
+            for a in range(d)
+        ],
+        d,
+    )
+
+    is_global_last = jnp.logical_and(
+        jnp.logical_and(sub == S - 1, is_last_lane), jnp.full((S, Lb), i == 0)
+    )
+    for a in range(d):
+        g[a] = jnp.where(is_global_last, m[a], g[a])
+        for c in range(d):
+            E[a][c] = jnp.where(is_global_last, jnp.zeros_like(E[a][c]), E[a][c])
+            Lm[a][c] = jnp.where(is_global_last, P[a][c], Lm[a][c])
+
+    rows = (
+        [E[a][c] for a in range(d) for c in range(d)]
+        + g
+        + [Lm[a][c] for a in range(d) for c in range(d)]
+    )
+    rows = _strip_ks_rounds(rows, _smooth_combine_rows, d, ident_rows, True)
+    prefix = [
+        jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb)) for k in range(n)
+    ]
+    out_rows = _smooth_combine_rows(prefix, rows, d)
+    stacked = jnp.stack(out_rows, axis=0)
+    elem_out[:] = stacked
+    carry_ref[0:n] = jnp.broadcast_to(
+        stacked[:, :, 0:1], (n,) + carry_ref.shape[1:]
+    )
+    carry_ref[n : n + d2] = jnp.broadcast_to(
+        f_ref[:][:, :, 0:1], (d2,) + carry_ref.shape[1:]
+    )
+    carry_ref[n + d2 :] = jnp.broadcast_to(
+        q_ref[:][:, :, 0:1], (d2,) + carry_ref.shape[1:]
+    )
+    totals_out[:] = carry_ref[0:n]
+
+
+def _strip_smoother_apply_kernel(elem_ref, pref_ref, g_out, l_out, *, d):
+    n = smooth_rows(d)
+    d2 = d * d
+    S, Lb = elem_ref.shape[1], elem_ref.shape[2]
+    X = [elem_ref[k] for k in range(n)]
+    pref = [
+        jnp.broadcast_to(pref_ref[k, :, 0:1], (S, Lb)) for k in range(n)
+    ]
+    out_rows = _smooth_combine_rows(pref, X, d)
+    g_out[:] = jnp.stack(out_rows[d2 : d2 + d], axis=0)
+    l_out[:] = jnp.stack(out_rows[d2 + d :], axis=0)
+
+
+def strip_smoother(
+    Fs_tl: Array,
+    Qs_tl: Array,
+    b_tl: Array,
+    C_tl: Array,
+    block: int = DEFAULT_STRIP_BLOCK,
+    interpret: bool = False,
+):
+    """Strip-layout fused smoother; returns (g_tl (d,T), L_tl (d,d,T))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = b_tl.shape[0]
+    d2 = d * d
+    n = smooth_rows(d)
+    T = b_tl.shape[-1]
+    dtype = b_tl.dtype
+    S = N_STRIPS
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    W = -(-T // (S * block)) * block
+    Tp = S * W
+    B = W // block
+    pad = Tp - T
+
+    def pad_front(x, fill):
+        if pad == 0:
+            return x
+        return jnp.concatenate(
+            [jnp.broadcast_to(fill, x.shape[:-1] + (pad,)), x], axis=-1
+        )
+
+    eye_col = jnp.eye(d, dtype=dtype).reshape(d2, 1)
+    F_st = pad_front(Fs_tl.reshape(d2, T), eye_col).reshape(d2, S, W)
+    Q_st = pad_front(Qs_tl.reshape(d2, T), jnp.zeros((d2, 1), dtype)).reshape(
+        d2, S, W
+    )
+    b_st = pad_front(b_tl, jnp.zeros((d, 1), dtype)).reshape(d, S, W)
+    c_st = pad_front(C_tl.reshape(d2, T), eye_col).reshape(d2, S, W)
+
+    # Cross-strip boundary F/Q: strip s's last element needs the column at
+    # global (s+1)·W — the first column of strip s+1 (unused for s = S−1).
+    fb = jnp.concatenate([F_st[:, 1:, 0], eye_col], axis=1)  # (d², S)
+    qb = jnp.concatenate([Q_st[:, 1:, 0], jnp.zeros((d2, 1), dtype)], axis=1)
+    fb_v = jnp.broadcast_to(fb[:, :, None], (d2, S, 128))
+    qb_v = jnp.broadcast_to(qb[:, :, None], (d2, S, 128))
+
+    rev = lambda i: (0, 0, B - 1 - i)  # noqa: E731
+    mk = lambda nrows, im: pl.BlockSpec(  # noqa: E731
+        (nrows, S, block), im, memory_space=pltpu.VMEM
+    )
+    cst = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    elems, totals = pl.pallas_call(
+        partial(_strip_smoother_scan_kernel, d=d),
+        grid=(B,),
+        in_specs=[
+            mk(d2, rev),
+            mk(d2, rev),
+            mk(d, rev),
+            mk(d2, rev),
+            cst(d2),
+            cst(d2),
+        ],
+        out_specs=(mk(n, rev), cst(n)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, S, W), dtype),
+            jax.ShapeDtypeStruct((n, S, 128), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((n + 2 * d2, S, 128), dtype)],
+        interpret=interpret,
+    )(F_st, Q_st, b_st, c_st, fb_v, qb_v)
+
+    prefixes = _strip_exclusive_prefixes(
+        totals[:, :, 0], d, _smooth_combine_rows, ident_rows, reverse=True
+    )
+    pref_v = jnp.broadcast_to(prefixes[:, :, None], (n, S, 128))
+
+    g_st, l_st = pl.pallas_call(
+        partial(_strip_smoother_apply_kernel, d=d),
+        grid=(B,),
+        in_specs=[mk(n, rev), cst(n)],
+        out_specs=(mk(d, rev), mk(d2, rev)),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, S, W), dtype),
+            jax.ShapeDtypeStruct((d2, S, W), dtype),
+        ),
+        interpret=interpret,
+    )(elems, pref_v)
+
+    g_tl = g_st.reshape(d, Tp)[:, pad:]
+    L_tl = l_st.reshape(d2, Tp)[:, pad:].reshape(d, d, T)
+    return g_tl, L_tl

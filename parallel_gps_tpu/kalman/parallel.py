@@ -29,7 +29,17 @@ from jax import Array
 
 from parallel_gps_tpu.ops.linalg import mvn_logpdf, solve_small, symmetrize
 from parallel_gps_tpu.ops.scan import blocked_associative_scan
-from parallel_gps_tpu.types import LGSSM
+from parallel_gps_tpu.types import LGSSM, LGSSMTL
+
+
+def _tl_to_time_first(lgssm_tl: LGSSMTL) -> LGSSM:
+    return LGSSM(
+        lgssm_tl.P0,
+        jnp.moveaxis(lgssm_tl.Fs, -1, 0),
+        jnp.moveaxis(lgssm_tl.Qs, -1, 0),
+        lgssm_tl.H,
+        lgssm_tl.R,
+    )
 
 
 class FilteringElement(NamedTuple):
@@ -191,9 +201,35 @@ def pkf(
 
     ``max_parallel`` is accepted for reference-API compatibility and ignored
     (see module docstring).  ``engine``: "auto" (time-last SoA fast path for
-    d ≤ 3, else generic), "timelast", or "generic".
+    d ≤ 3, else generic), "timelast", "pallas", or "generic".
+
+    Accepts either layout: an ``LGSSM`` (time-first, the reference layout)
+    or an ``LGSSMTL`` (time-last, the TPU-native layout from
+    ``SDEKernel.get_ssm_tl`` — zero relayouts on the d ≤ 3 fast path).
     """
     del max_parallel
+    if isinstance(lgssm, LGSSMTL):
+        if lgssm.P0.shape[0] <= 3:
+            from parallel_gps_tpu.kalman.timelast import pkf_from_tl
+
+            out = pkf_from_tl(
+                lgssm,
+                observations,
+                return_loglikelihood,
+                pallas=(engine == "pallas"),
+            )
+            # Convert moments to the reference (T, d) layout; under jit the
+            # conversion is dead-code-eliminated when callers only use ell.
+            if return_loglikelihood:
+                b_tl, C_tl, ell = out
+                return (
+                    jnp.moveaxis(b_tl, -1, 0),
+                    jnp.moveaxis(C_tl, -1, 0),
+                    ell,
+                )
+            b_tl, C_tl = out
+            return jnp.moveaxis(b_tl, -1, 0), jnp.moveaxis(C_tl, -1, 0)
+        lgssm = _tl_to_time_first(lgssm)
     if engine == "pallas":
         from parallel_gps_tpu.kalman.timelast import pkf_pallas
 
@@ -276,8 +312,24 @@ def pks(
     max_parallel: int = 0,
     engine: str = "auto",
 ):
-    """Parallel RTS smoother (reference: pssgp/kalman/parallel.py:187-196)."""
+    """Parallel RTS smoother (reference: pssgp/kalman/parallel.py:187-196).
+
+    Accepts LGSSM or LGSSMTL (``ms``/``Ps`` stay (T, d)/(T, d, d) in both
+    cases — for a fully time-last pipeline use ``pkfs`` on the LGSSMTL or
+    ``kalman.timelast.pks_from_tl`` directly)."""
     del max_parallel
+    if isinstance(lgssm, LGSSMTL):
+        if lgssm.P0.shape[0] <= 3:
+            from parallel_gps_tpu.kalman.timelast import pks_from_tl
+
+            g_tl, L_tl = pks_from_tl(
+                lgssm,
+                jnp.moveaxis(ms, 0, -1),
+                jnp.moveaxis(Ps, 0, -1),
+                pallas=(engine == "pallas"),
+            )
+            return jnp.moveaxis(g_tl, -1, 0), jnp.moveaxis(L_tl, -1, 0)
+        lgssm = _tl_to_time_first(lgssm)
     if engine == "pallas":
         from parallel_gps_tpu.kalman.timelast import pks_pallas
 
@@ -303,6 +355,13 @@ def pkfs(
     max_parallel: int = 0,
     engine: str = "auto",
 ):
-    """Parallel filter + smoother (reference: pssgp/kalman/parallel.py:199-201)."""
+    """Parallel filter + smoother (reference: pssgp/kalman/parallel.py:199-201).
+
+    On an LGSSMTL input the filtered moments stay time-last between the two
+    scans and only the final smoothed moments are converted to (T, d)."""
+    if isinstance(lgssm, LGSSMTL) and lgssm.P0.shape[0] <= 3:
+        from parallel_gps_tpu.kalman.timelast import pkfs_from_tl
+
+        return pkfs_from_tl(lgssm, observations, pallas=(engine == "pallas"))
     fms, fPs = pkf(lgssm, observations, False, engine=engine)
     return pks(lgssm, fms, fPs, engine=engine)

@@ -124,12 +124,20 @@ def make_filtering_elements_tl(
     lgssm: LGSSM, observations: Array
 ) -> FilteringElementTL:
     P0, Fs, Qs, H, R = lgssm
+    return _filtering_elements_from_planes(
+        P0, jnp.moveaxis(Fs, 0, -1), jnp.moveaxis(Qs, 0, -1), H, R, observations
+    )
+
+
+def _filtering_elements_from_planes(
+    P0: Array, A_std: Array, Q: Array, H: Array, R: Array, observations: Array
+) -> FilteringElementTL:
+    """Core element construction on time-last (d, d, T) planes — zero
+    relayouts when fed from an LGSSMTL."""
     dtype = P0.dtype
     d = P0.shape[0]
-    T = Fs.shape[0]
+    T = A_std.shape[-1]
 
-    A_std = jnp.moveaxis(Fs, 0, -1)  # (d, d, T)
-    Q = jnp.moveaxis(Qs, 0, -1)
     h = H[0]  # (d,)
     r = R[0, 0]
 
@@ -313,17 +321,37 @@ def _loglik_tl(lgssm: LGSSM, b_tl: Array, C_tl: Array, observations: Array):
     (reference: parallel.py:135-151).  b_tl (d, T), C_tl (d, d, T) are the
     scanned filtering moments."""
     P0, Fs, Qs, H, R = lgssm
+    return _loglik_from_planes(
+        P0,
+        jnp.moveaxis(Fs, 0, -1),
+        jnp.moveaxis(Qs, 0, -1),
+        H,
+        R,
+        b_tl,
+        C_tl,
+        observations,
+    )
+
+
+def _loglik_from_planes(
+    P0: Array,
+    A: Array,
+    Q: Array,
+    H: Array,
+    R: Array,
+    b_tl: Array,
+    C_tl: Array,
+    observations: Array,
+):
     d = P0.shape[0]
     dtype = P0.dtype
-    T = Fs.shape[0]
+    T = A.shape[-1]
     h = H[0]
     r = R[0, 0]
     ys = observations.reshape(T)
     mask = jnp.logical_not(jnp.isnan(ys))
     y = jnp.where(mask, jnp.nan_to_num(ys), 0.0)
 
-    A = jnp.moveaxis(Fs, 0, -1)
-    Q = jnp.moveaxis(Qs, 0, -1)
     m_prev = jnp.concatenate(
         [jnp.zeros((d, 1), dtype), b_tl[:, :-1]], axis=-1
     )
@@ -343,13 +371,26 @@ def make_smoothing_elements_tl(
     lgssm: LGSSM, ms: Array, Ps: Array
 ) -> SmoothingElementTL:
     _, Fs, Qs, *_ = lgssm
-    d = lgssm.P0.shape[0]
-    dtype = lgssm.P0.dtype
+    return _smoothing_elements_from_planes(
+        jnp.moveaxis(Fs, 0, -1),
+        jnp.moveaxis(Qs, 0, -1),
+        jnp.moveaxis(ms, 0, -1),
+        jnp.moveaxis(Ps, 0, -1),
+    )
 
-    A = jnp.moveaxis(Fs[1:], 0, -1)  # (d, d, T-1)
-    Q = jnp.moveaxis(Qs[1:], 0, -1)
-    m = jnp.moveaxis(ms[:-1], 0, -1)  # (d, T-1)
-    P = jnp.moveaxis(Ps[:-1], 0, -1)
+
+def _smoothing_elements_from_planes(
+    A_all: Array, Q_all: Array, m_all: Array, P_all: Array
+) -> SmoothingElementTL:
+    """Core smoothing-element construction on time-last planes:
+    A_all/Q_all (d, d, T), m_all (d, T), P_all (d, d, T)."""
+    d = A_all.shape[0]
+    dtype = A_all.dtype
+
+    A = A_all[:, :, 1:]  # (d, d, T-1)
+    Q = Q_all[:, :, 1:]
+    m = m_all[:, :-1]  # (d, T-1)
+    P = P_all[:, :, :-1]
 
     Pp = _mm(_mm(A, P), _mt(A)) + Q
     FP = _mm(A, P)
@@ -359,8 +400,8 @@ def make_smoothing_elements_tl(
 
     return SmoothingElementTL(
         E=jnp.concatenate([E, jnp.zeros((d, d, 1), dtype)], axis=-1),
-        g=jnp.concatenate([g, jnp.moveaxis(ms[-1:], 0, -1)], axis=-1),
-        L=jnp.concatenate([L, jnp.moveaxis(Ps[-1:], 0, -1)], axis=-1),
+        g=jnp.concatenate([g, m_all[:, -1:]], axis=-1),
+        L=jnp.concatenate([L, P_all[:, :, -1:]], axis=-1),
     )
 
 
@@ -454,3 +495,138 @@ def pks_pallas(
 def pkfs_pallas(lgssm: LGSSM, observations: Array, interpret: bool = False):
     fms, fPs = pkf_pallas(lgssm, observations, interpret=interpret)
     return pks_pallas(lgssm, fms, fPs, interpret=interpret)
+
+
+# --------------------------------------------------------------------------
+# LGSSMTL-native entry points: zero relayouts end-to-end.
+#
+# The (T, d, d) ↔ (d, d, T) transposes that the LGSSM wrappers above pay are
+# the dominant cost at T = 10⁶ (~25 ms vs ~1 ms for the scan itself);
+# kernels emit LGSSMTL directly (SDEKernel.get_ssm_tl) and these functions
+# keep every intermediate time-last, converting only the final user-facing
+# moments via a line-rate Pallas transpose.
+# --------------------------------------------------------------------------
+
+
+def _planes_to_time_first(plane: Array, d_shape, interpret: bool = False):
+    """(n, T) packed plane → (T, *d_shape) via the Pallas blockwise
+    transpose (falls back to moveaxis under AD or on CPU interpret)."""
+    from parallel_gps_tpu.kalman.pallas_scan import plane_transpose
+
+    T = plane.shape[-1]
+    out = plane_transpose(plane, interpret=interpret)  # (T, n)
+    return out.reshape((T,) + tuple(d_shape))
+
+
+def pkf_from_tl(
+    lgssm_tl,
+    observations: Array,
+    return_loglikelihood: bool = False,
+    pallas: bool = False,
+    interpret: bool = False,
+    block: int | None = None,
+):
+    """Parallel Kalman filter on a time-last LGSSMTL.
+
+    ``pallas=True`` uses the fused single-pass scan kernel (forward only —
+    no VJP); otherwise the XLA Kogge-Stone scan (differentiable).
+    """
+    P0, Fs_tl, Qs_tl, H, R = lgssm_tl
+    d = P0.shape[0]
+    dtype = P0.dtype
+    if pallas:
+        # Strip-layout fused engine: element construction + per-strip scan +
+        # streaming log-likelihood, full sublane utilization
+        # (see pallas_scan.strip_filter).
+        from parallel_gps_tpu.kalman.pallas_scan import (
+            DEFAULT_STRIP_BLOCK,
+            strip_filter,
+        )
+
+        b_tl, C_tl, ell = strip_filter(
+            Fs_tl, Qs_tl, P0, H, R, observations,
+            block=block or DEFAULT_STRIP_BLOCK, interpret=interpret,
+        )
+        if not return_loglikelihood:
+            return b_tl, C_tl
+        return b_tl, C_tl, ell
+    e = _filtering_elements_from_planes(P0, Fs_tl, Qs_tl, H, R, observations)
+    final = kogge_stone_scan_tl(
+        filtering_operator_tl, e, filtering_identity_tl(d, dtype)
+    )
+    b_tl, C_tl = final.b, final.C
+    if not return_loglikelihood:
+        return b_tl, C_tl
+    ell = _loglik_from_planes(
+        P0, Fs_tl, Qs_tl, H, R, b_tl, C_tl, observations
+    )
+    return b_tl, C_tl, ell
+
+
+def pks_from_tl(
+    lgssm_tl,
+    b_tl: Array,
+    C_tl: Array,
+    pallas: bool = False,
+    interpret: bool = False,
+    block: int | None = None,
+):
+    """Parallel RTS smoother on time-last moments; returns (g_tl, L_tl)."""
+    P0, Fs_tl, Qs_tl, _, _ = lgssm_tl
+    d = P0.shape[0]
+    dtype = P0.dtype
+    if pallas:
+        # Strip-layout fused engine: smoothing elements built in VMEM from
+        # the raw F/Q/moment planes (see pallas_scan.strip_smoother).
+        from parallel_gps_tpu.kalman.pallas_scan import (
+            DEFAULT_STRIP_BLOCK,
+            strip_smoother,
+        )
+
+        return strip_smoother(
+            Fs_tl, Qs_tl, b_tl, C_tl,
+            block=block or DEFAULT_STRIP_BLOCK, interpret=interpret,
+        )
+    e = _smoothing_elements_from_planes(Fs_tl, Qs_tl, b_tl, C_tl)
+    final = kogge_stone_scan_tl(
+        smoothing_operator_tl,
+        e,
+        smoothing_identity_tl(d, dtype),
+        reverse=True,
+    )
+    return final.g, final.L
+
+
+def pkfs_from_tl(
+    lgssm_tl,
+    observations: Array,
+    pallas: bool = False,
+    interpret: bool = False,
+    time_first_out: bool = True,
+    block: int | None = None,
+):
+    """Filter + smoother on an LGSSMTL; the filtered moments stay time-last
+    between the two scans (no mid-pipeline relayout).
+
+    Returns (sms (T, d), sPs (T, d, d)) when ``time_first_out`` (the
+    reference layout, converted via the Pallas transpose when on the pallas
+    path), else the raw time-last (g_tl (d, T), L_tl (d, d, T))."""
+    d = lgssm_tl.P0.shape[0]
+    b_tl, C_tl = pkf_from_tl(
+        lgssm_tl, observations, pallas=pallas, interpret=interpret,
+        block=block,
+    )
+    g_tl, L_tl = pks_from_tl(
+        lgssm_tl, b_tl, C_tl, pallas=pallas, interpret=interpret,
+        block=block,
+    )
+    if not time_first_out:
+        return g_tl, L_tl
+    T = g_tl.shape[-1]
+    if pallas:
+        sms = _planes_to_time_first(g_tl, (d,), interpret=interpret)
+        sPs = _planes_to_time_first(
+            L_tl.reshape(d * d, T), (d, d), interpret=interpret
+        )
+        return sms, sPs
+    return jnp.moveaxis(g_tl, -1, 0), jnp.moveaxis(L_tl, -1, 0)

@@ -26,10 +26,10 @@ from jax import Array
 
 from parallel_gps_tpu import config
 from parallel_gps_tpu.ops.balance import balance_scale, balance_ss
-from parallel_gps_tpu.ops.disc import discretize
+from parallel_gps_tpu.ops.disc import discretize, discretize_tl
 from parallel_gps_tpu.ops.expm import expm1_dt_batched
 from parallel_gps_tpu.ops.lyapunov import solve_lyap_vec
-from parallel_gps_tpu.types import LGSSM, ContinuousDiscreteModel
+from parallel_gps_tpu.types import LGSSM, LGSSMTL, ContinuousDiscreteModel
 
 
 class SDEKernel:
@@ -75,6 +75,32 @@ class SDEKernel:
             return Am1
 
         return discretize(sde, ts, R, t0, transitions_m1=trans_m1)
+
+    def transitions_m1_tl(self, dts: Array):
+        """Time-last ``expm(dt_k · F) − I`` as (d, d, T), or None.
+
+        Kernels with closed forms build this from (T,) lane planes by pure
+        broadcasts (no relayout); the default derives it from
+        :meth:`transitions_m1` via one transpose."""
+        m1 = self.transitions_m1(dts)
+        if m1 is None:
+            return None
+        return jnp.moveaxis(m1, 0, -1)
+
+    def get_ssm_tl(self, ts: Array, R: Array, t0=0.0) -> LGSSMTL:
+        """Time-last LGSSM — the TPU fast-path layout (see types.LGSSMTL)."""
+        sde = self.get_sde()
+        dtype = sde.F.dtype
+
+        def trans_m1_tl(dts):
+            Am1 = self.transitions_m1_tl(dts.astype(dtype))
+            if Am1 is None:
+                Am1 = jnp.moveaxis(
+                    expm1_dt_batched(sde.F, dts.astype(dtype)), 0, -1
+                )
+            return Am1
+
+        return discretize_tl(sde, ts, R, t0, transitions_m1_tl=trans_m1_tl)
 
     def __add__(self, other: "SDEKernel") -> "Sum":
         return Sum(kernels=(self, other))

@@ -71,6 +71,10 @@ class Matern12(SDEKernel):
         lam = 1.0 / jnp.asarray(self.lengthscales, dts.dtype)
         return jnp.expm1(-lam * dts)[:, None, None]
 
+    def transitions_m1_tl(self, dts: Array):
+        lam = 1.0 / jnp.asarray(self.lengthscales, dts.dtype)
+        return jnp.expm1(-lam * dts)[None, None, :]
+
     def dense(self, X: Array, X2: Array) -> Array:
         r = scaled_dist(X, X2, self.lengthscales)
         return self.variance * jnp.exp(-r)
@@ -108,6 +112,17 @@ class Matern32(SDEKernel):
         row0 = jnp.stack([em1 + et * lam, et], axis=-1)
         row1 = jnp.stack([-et * lam**2, em1 - et * lam], axis=-1)
         return jnp.stack([row0, row1], axis=-2)
+
+    def transitions_m1_tl(self, dts: Array):
+        """Same closed form, assembled time-last: each (i, j) entry is a
+        (T,) lane plane, so the (2, 2, T) stack is relayout-free."""
+        lam = math.sqrt(3) / jnp.asarray(self.lengthscales, dts.dtype)
+        t = dts
+        em1 = jnp.expm1(-lam * t)
+        et = jnp.exp(-lam * t) * t
+        row0 = jnp.stack([em1 + et * lam, et], axis=0)  # (2, T)
+        row1 = jnp.stack([-et * lam**2, em1 - et * lam], axis=0)
+        return jnp.stack([row0, row1], axis=0)  # (2, 2, T)
 
     def dense(self, X: Array, X2: Array) -> Array:
         r = math.sqrt(3) * scaled_dist(X, X2, self.lengthscales)
@@ -160,6 +175,26 @@ class Matern52(SDEKernel):
         )
         d = jax.lax.stop_gradient(balance_scale(F, n_iter)).astype(dtype)
         return Em1 * (d[None, None, :] / d[None, :, None])
+
+    def transitions_m1_tl(self, dts: Array):
+        """Time-last variant of :meth:`transitions_m1`: t is the lane axis."""
+        F, _, _, _ = matern_sde(self.variance, self.lengthscales, 3)
+        dtype = dts.dtype
+        lam = math.sqrt(5) / jnp.asarray(self.lengthscales, dtype)
+        eye = jnp.eye(3, dtype=dtype)
+        N = F.astype(dtype) + lam * eye
+        N2 = N @ N
+        t = dts[None, None, :]  # (1, 1, T)
+        Em1 = jnp.expm1(-lam * t) * eye[:, :, None] + jnp.exp(-lam * t) * (
+            t * N[:, :, None] + 0.5 * t * t * N2[:, :, None]
+        )
+        n_iter = (
+            self.balancing_iter
+            if self.balancing_iter >= 0
+            else config.NUMBER_OF_BALANCING_STEPS
+        )
+        d = jax.lax.stop_gradient(balance_scale(F, n_iter)).astype(dtype)
+        return Em1 * (d[None, :, None] / d[:, None, None])
 
     def dense(self, X: Array, X2: Array) -> Array:
         r = math.sqrt(5) * scaled_dist(X, X2, self.lengthscales)

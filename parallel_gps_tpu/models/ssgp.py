@@ -87,6 +87,11 @@ class StateSpaceGP:
 
     def _make_model(self, ts: Array) -> LGSSM:
         R = jnp.reshape(self.noise_variance, (1, 1))
+        # Parallel engine with d ≤ 3: build the SSM time-last (LGSSMTL) so
+        # the whole filter/smoother pipeline runs relayout-free on TPU —
+        # pkf/pkfs dispatch on the container type (kalman/parallel.py).
+        if self.parallel and self.kernel.state_dim <= 3:
+            return self.kernel.get_ssm_tl(ts, R)
         return self.kernel.get_ssm(ts, R)
 
     def log_marginal_likelihood(self) -> Array:

@@ -20,7 +20,7 @@ from jax import Array
 
 from parallel_gps_tpu.ops.expm import expm1_dt_batched, expm_pade13
 from parallel_gps_tpu.ops.linalg import symmetrize
-from parallel_gps_tpu.types import LGSSM, ContinuousDiscreteModel
+from parallel_gps_tpu.types import LGSSM, LGSSMTL, ContinuousDiscreteModel
 
 
 def _dts(ts: Array, t0) -> Array:
@@ -68,6 +68,40 @@ def discretize(
         -(AP + jnp.swapaxes(AP, -1, -2) + AP @ jnp.swapaxes(Am1, -1, -2))
     )
     return LGSSM(P0, Fs, Qs, sde.H, jnp.asarray(R).reshape(1, 1))
+
+
+def discretize_tl(
+    sde: ContinuousDiscreteModel,
+    ts: Array,
+    R: Array,
+    t0=0.0,
+    transitions_m1_tl=None,
+) -> LGSSMTL:
+    """Time-last discretization: identical math to :func:`discretize` but
+    producing (d, d, T) transition/noise stacks with NO (T, d, d) relayout.
+
+    ``transitions_m1_tl``: callable ``dts -> (d, d, T)`` supplying
+    ``expm(dt_k F) − I`` time-last; kernels with closed forms build this
+    directly from (T,) lane planes (free — pure broadcasts).  Falls back to
+    transposing the batched Padé path (correct but pays one relayout).
+    """
+    dts = _dts(ts, t0)
+    if transitions_m1_tl is not None:
+        Am1 = transitions_m1_tl(dts)  # (d, d, T)
+    else:
+        Am1 = jnp.moveaxis(expm1_dt_batched(sde.F, dts), 0, -1)
+    d = sde.F.shape[0]
+    T = dts.shape[0]
+    P0 = symmetrize(sde.P0)
+    eye_tl = jnp.broadcast_to(jnp.eye(d, dtype=Am1.dtype)[:, :, None], (d, d, T))
+    Fs = Am1 + eye_tl
+    # Time-last small-matrix products: out[i,j,t] = Σ_k a[i,k,t]·b[k,j,t].
+    P0_tl = P0[:, :, None]
+    AP = jnp.sum(Am1[:, :, None, :] * P0_tl[None, :, :, :], axis=1)  # (d,d,T)
+    APAt = jnp.sum(AP[:, :, None, :] * Am1[None, :, :, :].swapaxes(1, 2), axis=1)
+    Q = -(AP + jnp.swapaxes(AP, 0, 1) + APAt)
+    Qs = 0.5 * (Q + jnp.swapaxes(Q, 0, 1))
+    return LGSSMTL(P0, Fs, Qs, sde.H, jnp.asarray(R).reshape(1, 1))
 
 
 def discretize_mfd(

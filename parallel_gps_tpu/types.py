@@ -36,6 +36,29 @@ class LGSSM(NamedTuple):
     R: Array
 
 
+class LGSSMTL(NamedTuple):
+    """Time-last (structure-of-arrays) LGSSM — the TPU-native layout.
+
+    Identical semantics to :class:`LGSSM` but with the time axis LAST, so T
+    rides the 128-lane vector dimension and no (T, d, d) ↔ (d, d, T)
+    relayouts are needed anywhere in the parallel engines (a single such
+    transpose costs more than the entire scan at T = 10⁶).
+
+    Attributes:
+      P0: (d, d) initial state covariance.
+      Fs: (d, d, T) per-step transition matrices.
+      Qs: (d, d, T) per-step process-noise covariances.
+      H:  (1, d) shared observation row.
+      R:  (1, 1) observation-noise covariance.
+    """
+
+    P0: Array
+    Fs: Array
+    Qs: Array
+    H: Array
+    R: Array
+
+
 class ContinuousDiscreteModel(NamedTuple):
     """LTI SDE ``dx = F x dt + L dW`` with spectral density Q and readout H.
 

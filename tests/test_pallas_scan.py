@@ -50,3 +50,58 @@ def test_pallas_smoother_matches_tl():
     sms_p, sPs_p = pks_pallas(ssm, fms, fPs, block=64, interpret=True)
     npt.assert_allclose(sms_p, sms_x, rtol=1e-8, atol=1e-9)
     npt.assert_allclose(sPs_p, sPs_x, rtol=1e-8, atol=1e-9)
+
+
+# --------------------------------------------------------------------------
+# Strip-layout engine (the production pallas path; full sublane utilization)
+# --------------------------------------------------------------------------
+
+from parallel_gps_tpu.kalman.pallas_scan import (  # noqa: E402
+    strip_filter,
+    strip_smoother,
+)
+from parallel_gps_tpu.kalman.timelast import (  # noqa: E402
+    pkf_from_tl,
+    pks_from_tl,
+)
+
+
+@pytest.mark.parametrize(
+    "kernel,T",
+    # T values force strip padding and multiple blocks per strip at block=32
+    [(Matern32(1.0, 0.5), 517), (Matern52(0.8, 0.4), 279)],
+    ids=["m32_T517", "m52_T279"],
+)
+def test_strip_filter_matches_tl(kernel, T):
+    rng = np.random.RandomState(7)
+    t = np.sort(rng.rand(T))
+    y = obs_noise(sinu(t), 0.1, 7)
+    y[rng.choice(T, T // 9, replace=False)] = np.nan
+    ys = jnp.asarray(y).reshape(-1, 1)
+    ssm = kernel.get_ssm_tl(
+        jnp.asarray(t).reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1)
+    )
+    b_x, C_x, ell_x = pkf_from_tl(ssm, ys, True)
+    b_s, C_s, ell_s = strip_filter(
+        ssm.Fs, ssm.Qs, ssm.P0, ssm.H, ssm.R, ys, block=32, interpret=True
+    )
+    npt.assert_allclose(b_s, b_x, rtol=1e-9, atol=1e-10)
+    npt.assert_allclose(C_s, C_x, rtol=1e-9, atol=1e-10)
+    npt.assert_allclose(float(ell_s), float(ell_x), rtol=1e-10)
+
+
+def test_strip_smoother_matches_tl():
+    kernel = Matern32(1.0, 0.5)
+    T = 413
+    rng = np.random.RandomState(11)
+    t = np.sort(rng.rand(T))
+    y = obs_noise(sinu(t), 0.1, 11)
+    ys = jnp.asarray(y).reshape(-1, 1)
+    ssm = kernel.get_ssm_tl(
+        jnp.asarray(t).reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1)
+    )
+    b_x, C_x = pkf_from_tl(ssm, ys)
+    g_x, L_x = pks_from_tl(ssm, b_x, C_x)
+    g_s, L_s = strip_smoother(ssm.Fs, ssm.Qs, b_x, C_x, block=32, interpret=True)
+    npt.assert_allclose(g_s, g_x, rtol=1e-8, atol=1e-9)
+    npt.assert_allclose(L_s, L_x, rtol=1e-8, atol=1e-9)

@@ -22,6 +22,20 @@ def set_number_balancing_steps(n: int) -> None:
     NUMBER_OF_BALANCING_STEPS = int(n)
 
 
+# Whether StateSpaceGP's LML uses the fused Pallas kernels on TPU.  The
+# Pallas path is single-series: under ``vmap`` (batched GPs / chains) it
+# fails at lowering — turn it off there and the XLA time-last engine is used
+# instead (which vmaps fine, and the batch dimension fills the sublanes the
+# Pallas strips otherwise provide).
+PALLAS_LML: bool = True
+
+
+def set_pallas_lml(enabled: bool) -> None:
+    """Enable/disable the fused Pallas kernels for model LML (see above)."""
+    global PALLAS_LML
+    PALLAS_LML = bool(enabled)
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache.
 

@@ -21,7 +21,7 @@ from jax import Array
 from parallel_gps_tpu.kalman.parallel import pkf, pkfs
 from parallel_gps_tpu.kalman.sequential import kf, kfs
 from parallel_gps_tpu.kernels.base import SDEKernel
-from parallel_gps_tpu.types import LGSSM
+from parallel_gps_tpu.types import LGSSM, LGSSMTL
 
 
 def merge_sorted(a: Array, b: Array, a_data, b_data):
@@ -95,8 +95,22 @@ class StateSpaceGP:
         return self.kernel.get_ssm(ts, R)
 
     def log_marginal_likelihood(self) -> Array:
-        """LML of the data (reference: pssgp/model.py:113-117)."""
+        """LML of the data (reference: pssgp/model.py:113-117).
+
+        On the time-last fast path (parallel, d ≤ 3) this uses the
+        Fisher-identity custom VJP (kalman.timelast.lml_tl): gradients cost
+        one smoother pass instead of replaying the scan tree — ~10× faster
+        training/MCMC steps — and the forward runs the fused Pallas kernels
+        on TPU."""
         ssm = self._make_model(self.ts)
+        if isinstance(ssm, LGSSMTL):
+            import jax
+
+            from parallel_gps_tpu import config
+            from parallel_gps_tpu.kalman.timelast import lml_tl
+
+            use_pallas = config.PALLAS_LML and jax.default_backend() == "tpu"
+            return lml_tl(ssm, self.ys, use_pallas)
         if self.parallel:
             _, _, ell = pkf(ssm, self.ys, return_loglikelihood=True)
         else:

@@ -81,3 +81,54 @@ def sharded_associative_scan(
     # batched over leading dims; broadcast the prefix).
     prefix_b = jax.tree.map(lambda x: x[None], prefix)
     return operator(prefix_b, local)
+
+
+def _exclusive_prefix_tl(operator, totals_tl, identity, my_idx):
+    """Exclusive prefix over the LAST axis of gathered time-last totals."""
+    from parallel_gps_tpu.kalman.timelast import kogge_stone_scan_tl
+
+    inclusive = kogge_stone_scan_tl(operator, totals_tl, identity)
+    safe_idx = jnp.maximum(my_idx - 1, 0)
+    prev = jax.tree.map(
+        lambda x: jax.lax.dynamic_index_in_dim(
+            x, safe_idx, x.ndim - 1, keepdims=True
+        ),
+        inclusive,
+    )
+    return jax.tree.map(
+        lambda p, i: jnp.where(my_idx == 0, i[..., None].astype(p.dtype), p),
+        prev,
+        identity,
+    )
+
+
+def sharded_associative_scan_tl(
+    operator: Callable,
+    elems,
+    axis_name: str,
+    identity,
+    reverse: bool = False,
+):
+    """Time-last counterpart of :func:`sharded_associative_scan`: the global
+    time axis is the LAST axis of every leaf (the TPU-native layout of
+    kalman.timelast — full 128-lane utilization per shard), sharded over mesh
+    axis ``axis_name``.  Must be called inside ``shard_map``.
+    """
+    from parallel_gps_tpu.kalman.timelast import kogge_stone_scan_tl
+
+    local = kogge_stone_scan_tl(operator, elems, identity, reverse=reverse)
+    pick = 0 if reverse else -1
+    total = jax.tree.map(lambda x: x[..., pick], local)
+    totals = jax.lax.all_gather(total, axis_name, axis=0)  # (P, ...)
+    totals_tl = jax.tree.map(lambda x: jnp.moveaxis(x, 0, -1), totals)
+    n_shards = jax.lax.axis_size(axis_name)
+    if reverse:
+        totals_tl = jax.tree.map(lambda x: jnp.flip(x, axis=-1), totals_tl)
+        my_idx = n_shards - 1 - jax.lax.axis_index(axis_name)
+    else:
+        my_idx = jax.lax.axis_index(axis_name)
+    prefix = _exclusive_prefix_tl(operator, totals_tl, identity, my_idx)
+    prefix_b = jax.tree.map(
+        lambda p, x: jnp.broadcast_to(p, x.shape), prefix, local
+    )
+    return operator(prefix_b, local)

@@ -36,7 +36,10 @@ from parallel_gps_tpu.kalman.parallel import (
     _mv,
 )
 from parallel_gps_tpu.ops.linalg import mvn_logpdf
-from parallel_gps_tpu.parallel.scan import sharded_associative_scan
+from parallel_gps_tpu.parallel.scan import (
+    sharded_associative_scan,
+    sharded_associative_scan_tl,
+)
 from parallel_gps_tpu.types import LGSSM
 
 try:  # JAX ≥ 0.6 stable API
@@ -236,3 +239,105 @@ def sharded_batched_pkf_lml(
     obs_covs = H[None, None] @ Pps @ H.T + R
     logprobs = mvn_logpdf(y, obs_means, obs_covs)
     return jnp.sum(jnp.where(mask, logprobs, 0.0), axis=1)
+
+
+# --------------------------------------------------------------------------
+# Time-last (LGSSMTL) sharded engines: the TPU-native layout per shard.
+#
+# The generic engines above shard (T, d, d) elements; on TPU that layout
+# wastes >95% of every vector register (see kalman/timelast.py).  These run
+# the SAME two-level distributed scan but with time-last planes, so each
+# shard's local scan runs at the single-chip fast-path speed.  Element
+# construction and the log-likelihood stay OUTSIDE shard_map — they are
+# elementwise, so GSPMD partitions them from the sharding annotations (the
+# one-step shift in the likelihood becomes a collective-permute).
+# --------------------------------------------------------------------------
+
+
+def _tl_specs(tree_example, axis: str):
+    return jax.tree.map(
+        lambda x: P(*([None] * (x.ndim - 1) + [axis])), tree_example
+    )
+
+
+def sharded_pkf_tl(
+    lgssm_tl,
+    observations: Array,
+    mesh: Mesh,
+    axis: str = "time",
+    return_loglikelihood: bool = False,
+):
+    """Time-axis-sharded parallel Kalman filter on an LGSSMTL.
+
+    Returns time-last moments (b (d, T), C (d, d, T)[, ell]); T must be
+    divisible by the mesh axis size (pad with NaN observations upstream).
+    """
+    from parallel_gps_tpu.kalman.timelast import (
+        _filtering_elements_from_planes,
+        _loglik_from_planes,
+        filtering_identity_tl,
+        filtering_operator_tl,
+    )
+
+    P0, Fs, Qs, H, R = lgssm_tl
+    d = P0.shape[0]
+    dtype = P0.dtype
+
+    elems = _filtering_elements_from_planes(P0, Fs, Qs, H, R, observations)
+    spec = _tl_specs(elems, axis)
+    fn = shard_map(
+        partial(
+            sharded_associative_scan_tl,
+            filtering_operator_tl,
+            axis_name=axis,
+            identity=filtering_identity_tl(d, dtype),
+            reverse=False,
+        ),
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=spec,
+    )
+    final = fn(elems)
+    b_tl, C_tl = final.b, final.C
+    if not return_loglikelihood:
+        return b_tl, C_tl
+    ell = _loglik_from_planes(P0, Fs, Qs, H, R, b_tl, C_tl, observations)
+    return b_tl, C_tl, ell
+
+
+def sharded_pks_tl(
+    lgssm_tl, b_tl: Array, C_tl: Array, mesh: Mesh, axis: str = "time"
+):
+    """Time-axis-sharded parallel RTS smoother on time-last moments."""
+    from parallel_gps_tpu.kalman.timelast import (
+        _smoothing_elements_from_planes,
+        smoothing_identity_tl,
+        smoothing_operator_tl,
+    )
+
+    P0, Fs, Qs, _, _ = lgssm_tl
+    d = P0.shape[0]
+    elems = _smoothing_elements_from_planes(Fs, Qs, b_tl, C_tl)
+    spec = _tl_specs(elems, axis)
+    fn = shard_map(
+        partial(
+            sharded_associative_scan_tl,
+            smoothing_operator_tl,
+            axis_name=axis,
+            identity=smoothing_identity_tl(d, P0.dtype),
+            reverse=True,
+        ),
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=spec,
+    )
+    final = fn(elems)
+    return final.g, final.L
+
+
+def sharded_pkfs_tl(
+    lgssm_tl, observations: Array, mesh: Mesh, axis: str = "time"
+):
+    """Sharded filter + smoother on an LGSSMTL; returns time-last (g, L)."""
+    b_tl, C_tl = sharded_pkf_tl(lgssm_tl, observations, mesh, axis)
+    return sharded_pks_tl(lgssm_tl, b_tl, C_tl, mesh, axis)

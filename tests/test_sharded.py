@@ -102,3 +102,67 @@ def test_batched_gps_vmap_over_mesh(mesh):
         [kf(ssm, ys[i], return_loglikelihood=True)[2] for i in range(4)]
     )
     npt.assert_allclose(ells_batched[:4], ells_seq, atol=1e-9)
+
+
+# --------------------------------------------------------------------------
+# Time-last (LGSSMTL) sharded engines
+# --------------------------------------------------------------------------
+
+from parallel_gps_tpu.kalman.timelast import (  # noqa: E402
+    pkf_from_tl,
+    pks_from_tl,
+)
+from parallel_gps_tpu.parallel.sharded import (  # noqa: E402
+    sharded_pkf_tl,
+    sharded_pkfs_tl,
+)
+
+
+def _tl_setup(T=512, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.sort(rng.rand(T))
+    y = obs_noise(sinu(t), 0.1, seed + 1)
+    y[rng.choice(T, T // 12, replace=False)] = np.nan
+    ssm = Matern32(1.2, 0.4).get_ssm_tl(
+        jnp.asarray(t).reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1)
+    )
+    return ssm, jnp.asarray(y).reshape(-1, 1), jnp.asarray(t).reshape(-1, 1)
+
+
+def test_sharded_tl_filter_matches_single_device():
+    mesh = make_time_mesh()
+    ssm, ys, _ = _tl_setup()
+    b1, C1, ell1 = pkf_from_tl(ssm, ys, True)
+    b2, C2, ell2 = jax.jit(
+        lambda s, o: sharded_pkf_tl(s, o, mesh, return_loglikelihood=True)
+    )(ssm, ys)
+    npt.assert_allclose(b2, b1, rtol=1e-9, atol=1e-11)
+    npt.assert_allclose(C2, C1, rtol=1e-9, atol=1e-11)
+    npt.assert_allclose(float(ell2), float(ell1), rtol=1e-11)
+
+
+def test_sharded_tl_smoother_matches_single_device():
+    mesh = make_time_mesh()
+    ssm, ys, _ = _tl_setup(seed=3)
+    b1, C1 = pkf_from_tl(ssm, ys)
+    g1, L1 = pks_from_tl(ssm, b1, C1)
+    g2, L2 = jax.jit(lambda s, o: sharded_pkfs_tl(s, o, mesh))(ssm, ys)
+    npt.assert_allclose(g2, g1, rtol=1e-8, atol=1e-10)
+    npt.assert_allclose(L2, L1, rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_tl_gradients_match_single_device():
+    mesh = make_time_mesh()
+    _, ys, ts = _tl_setup(seed=5)
+
+    def lml_sharded(var):
+        s = Matern32(var, 0.4).get_ssm_tl(ts, jnp.asarray(0.1).reshape(1, 1))
+        return sharded_pkf_tl(s, ys, mesh, return_loglikelihood=True)[2]
+
+    def lml_single(var):
+        s = Matern32(var, 0.4).get_ssm_tl(ts, jnp.asarray(0.1).reshape(1, 1))
+        return pkf_from_tl(s, ys, True)[2]
+
+    gs = float(jax.grad(lml_sharded)(jnp.asarray(1.2)))
+    gr = float(jax.grad(lml_single)(jnp.asarray(1.2)))
+    npt.assert_allclose(gs, gr, rtol=1e-9)

@@ -50,8 +50,12 @@ def set_dtype(dtype: str, platform: str | None = None) -> None:
     jax.config.update("jax_enable_x64", dtype == "float64")
     if platform in (None, "default") and dtype == "float64":
         platform = "cpu"
-    if platform and platform != "default":
-        jax.config.update("jax_platforms", platform)
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # Any accelerator request ("tpu"/"default" with float32) keeps JAX's
+    # default platform selection, which already prefers the accelerator —
+    # forcing a name breaks when the PJRT plugin registers under a
+    # different one (e.g. a tunneled TPU).
 
     from parallel_gps_tpu.config import enable_compilation_cache
 

@@ -14,6 +14,7 @@ runs the smoother over the union, and reads off H-projections.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 from jax import Array
@@ -101,7 +102,16 @@ class StateSpaceGP:
         Fisher-identity custom VJP (kalman.timelast.lml_tl): gradients cost
         one smoother pass instead of replaying the scan tree — ~10× faster
         training/MCMC steps — and the forward runs the fused Pallas kernels
-        on TPU."""
+        on TPU.
+
+        Jitted with the model as a pytree argument, so the compiled program
+        is reused across hyperparameter values and model instances — the
+        role of the reference's pre-compiled ``tf.function`` signatures
+        (pssgp/model.py:71-84).  Under an outer ``jit``/``grad`` the inner
+        jit is free."""
+        return _lml_jit(self)
+
+    def _lml_impl(self) -> Array:
         ssm = self._make_model(self.ts)
         if isinstance(ssm, LGSSMTL):
             import jax
@@ -125,8 +135,13 @@ class StateSpaceGP:
 
     def predict_f(self, Xnew: Array):
         """Posterior mean/variance of f at new inputs
-        (reference: pssgp/model.py:92-111)."""
+        (reference: pssgp/model.py:92-111).  Jitted (see
+        :meth:`log_marginal_likelihood`); recompiles only when the number of
+        query points changes."""
         Xnew = jnp.asarray(Xnew, self.ts.dtype).reshape(-1, 1)
+        return _predict_f_jit(self, Xnew)
+
+    def _predict_f_impl(self, Xnew: Array):
         # Sort queries (and later unsort results): unlike the reference, which
         # silently assumes sorted Xnew, unsorted queries are handled correctly.
         order = jnp.argsort(Xnew[:, 0])
@@ -146,3 +161,10 @@ class StateSpaceGP:
         var = (ssm.H[None] @ sPs_q @ ssm.H.T)[..., 0]  # (M, 1)
         inv_order = jnp.argsort(order)
         return mean[inv_order], var[inv_order]
+
+
+# Module-level jitted method bodies: StateSpaceGP is a flax.struct pytree, so
+# the model itself is a jit argument — one compile per (shapes, engine), then
+# reused across instances and hyperparameter values.
+_lml_jit = jax.jit(StateSpaceGP._lml_impl)
+_predict_f_jit = jax.jit(StateSpaceGP._predict_f_impl)

@@ -3,6 +3,7 @@ from parallel_gps_tpu.inference.mcmc import (
     mala_kernel,
     nuts_kernel,
     sample_chain,
+    sample_chains,
 )
 from parallel_gps_tpu.inference.optim import (
     fit_adam,
@@ -20,4 +21,5 @@ __all__ = [
     "mala_kernel",
     "nuts_kernel",
     "sample_chain",
+    "sample_chains",
 ]

@@ -399,3 +399,29 @@ def make_kernel(name: str, log_prob_flat, step_size, **kwargs):
     if name == "NUTS":
         return nuts_kernel(log_prob_flat, step_size, kwargs.get("max_depth", 8))
     raise ValueError(f"unknown MCMC kernel: {name}")
+
+
+def sample_chains(
+    kernel_step: Callable,
+    initial_positions,
+    log_prob_fn_tree: Callable,
+    rng: jax.Array,
+    num_samples: int,
+    num_burnin: int = 0,
+):
+    """Run multiple chains in parallel with ``vmap`` — the TPU-native
+    batching the reference's single TFP chain lacks (SURVEY.md §2
+    checklist, "data parallelism over MCMC chains").
+
+    ``initial_positions`` is a pytree whose leaves carry a leading chain
+    axis.  Returns (samples stacked (num_chains, num_samples, ...),
+    is_accepted (num_chains, num_samples)).  Compose with a sharded mesh by
+    jitting under a ``NamedSharding`` over the chain axis.
+    """
+    n_chains = jax.tree.leaves(initial_positions)[0].shape[0]
+    keys = jax.random.split(rng, n_chains)
+    return jax.vmap(
+        lambda pos, key: sample_chain(
+            kernel_step, pos, log_prob_fn_tree, key, num_samples, num_burnin
+        )
+    )(initial_positions, keys)

@@ -21,7 +21,7 @@ import numpy as np
 
 N = int(os.environ.get("BENCH_N", 1_000_000))
 N_SEQ = int(os.environ.get("BENCH_N_SEQ", 8_192))
-REPS = int(os.environ.get("BENCH_REPS", 5))
+REPS = int(os.environ.get("BENCH_REPS", 10))
 
 
 def _median_time(fn, *args, reps=REPS):

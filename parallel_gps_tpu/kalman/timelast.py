@@ -200,8 +200,13 @@ def filtering_operator_tl(
     kalman.parallel.filtering_operator, fully elementwise over T."""
     A1, b1, C1, J1, eta1 = e1
     A2, b2, C2, J2, eta2 = e2
-    d, _, T = A1.shape
-    I = _eye(d, T, A1.dtype)
+    d = A1.shape[0]
+    # Identity broadcast over any trailing block/batch dims (the two-level
+    # scan runs the operator on (d, d, B, Lb)-blocked leaves).
+    I = jnp.broadcast_to(
+        jnp.eye(d, dtype=A1.dtype).reshape((d, d) + (1,) * (A1.ndim - 2)),
+        A1.shape,
+    )
 
     U = _mm(A2, _inv(I + _mm(C1, J2)))  # A2 (I + C1 J2)⁻¹
     A = _mm(U, A1)
@@ -231,10 +236,20 @@ def smoothing_operator_tl(
 # --------------------------------------------------------------------------
 
 
+_BLOCKED_SCAN_MIN_T = 8192
+
+
 def kogge_stone_scan_tl(operator, elems, identity, reverse: bool = False):
-    """Inclusive associative scan over the LAST axis via Kogge-Stone:
-    ceil(log2 T) rounds of roll + masked-identity + combine, every round a
-    single fused elementwise pass over the planes.
+    """Inclusive associative scan over the LAST axis.
+
+    Small T: Kogge-Stone — ceil(log2 T) rounds of roll + masked-identity +
+    combine, every round one fused elementwise pass over the planes.
+
+    Large T (≥ 8192): two-level — reshape the scan axis to (B, √T̃), run
+    Kogge-Stone within blocks (log2 √T̃ rounds of FULL-size passes instead
+    of log2 T — ~half the HBM traffic at T = 10⁶), recursively scan the B
+    block totals (tiny), and fold each block's exclusive prefix back in.
+    Same math, plain differentiable JAX.
 
     ``identity`` leaves are shaped like one element with no T axis
     (e.g. (d, d)); combining with the identity is exact.
@@ -242,6 +257,71 @@ def kogge_stone_scan_tl(operator, elems, identity, reverse: bool = False):
     For ``reverse=True`` accumulates from the right with the later partial
     applied on the LEFT (matching ``lax.associative_scan(reverse=True)``).
     """
+    leaves = jax.tree.leaves(elems)
+    T = leaves[0].shape[-1]
+    if T >= _BLOCKED_SCAN_MIN_T:
+        return _blocked_scan_tl(operator, elems, identity, reverse)
+    return _kogge_stone_flat_tl(operator, elems, identity, reverse)
+
+
+def _blocked_scan_tl(operator, elems, identity, reverse: bool):
+    leaves = jax.tree.leaves(elems)
+    T = leaves[0].shape[-1]
+    dtype = leaves[0].dtype
+    Lb = 1 << max(1, math.ceil(math.log2(math.sqrt(T))))
+    B = -(-T // Lb)
+    Tp = B * Lb
+
+    def pad(x, ident):
+        if Tp == T:
+            return x
+        fill = jnp.broadcast_to(
+            ident[..., None].astype(dtype), x.shape[:-1] + (Tp - T,)
+        )
+        # Forward scans pad at the END, reverse at the FRONT, so real
+        # elements keep their prefixes/suffixes intact.
+        return (
+            jnp.concatenate([x, fill], axis=-1)
+            if not reverse
+            else jnp.concatenate([fill, x], axis=-1)
+        )
+
+    blocked = jax.tree.map(
+        lambda x, i: pad(x, i).reshape(x.shape[:-1] + (B, Lb)),
+        elems,
+        identity,
+    )
+    local = _kogge_stone_flat_tl(operator, blocked, identity, reverse)
+    pick = 0 if reverse else -1
+    totals = jax.tree.map(lambda x: x[..., pick], local)  # (..., B)
+    scanned_tot = kogge_stone_scan_tl(operator, totals, identity, reverse)
+    # Exclusive prefix: shift the inclusive totals by one block.
+    shift = 1 if reverse else -1
+
+    def excl(x, ident):
+        rolled = jnp.roll(x, -shift, axis=-1)
+        idx = jnp.arange(B)
+        edge = idx == (B - 1 if reverse else 0)
+        ident_b = jnp.broadcast_to(ident[..., None].astype(dtype), x.shape)
+        return jnp.where(edge, ident_b, rolled)
+
+    prefix = jax.tree.map(excl, scanned_tot, identity)
+    prefix_b = jax.tree.map(lambda p: p[..., None], prefix)  # (..., B, 1)
+    combined = operator(
+        jax.tree.map(lambda p, x: jnp.broadcast_to(p, x.shape), prefix_b, local),
+        local,
+    )
+    out = jax.tree.map(
+        lambda x: x.reshape(x.shape[:-2] + (Tp,)), combined
+    )
+    if Tp != T:
+        out = jax.tree.map(
+            lambda x: x[..., :T] if not reverse else x[..., Tp - T :], out
+        )
+    return out
+
+
+def _kogge_stone_flat_tl(operator, elems, identity, reverse: bool = False):
     leaves = jax.tree.leaves(elems)
     T = leaves[0].shape[-1]
     dtype = leaves[0].dtype
@@ -255,10 +335,10 @@ def kogge_stone_scan_tl(operator, elems, identity, reverse: bool = False):
 
             def mk(x, ident):
                 rolled = jnp.roll(x, -shift, axis=-1)
-                ident_b = jnp.broadcast_to(
-                    ident[..., None].astype(dtype), x.shape
-                )
-                return jnp.where(mask, rolled, ident_b)
+                ib = ident.reshape(
+                    ident.shape + (1,) * (x.ndim - ident.ndim)
+                ).astype(dtype)
+                return jnp.where(mask, rolled, jnp.broadcast_to(ib, x.shape))
 
             partial = jax.tree.map(mk, elems, identity)
             elems = operator(partial, elems)
@@ -267,10 +347,10 @@ def kogge_stone_scan_tl(operator, elems, identity, reverse: bool = False):
 
             def mk(x, ident):
                 rolled = jnp.roll(x, shift, axis=-1)
-                ident_b = jnp.broadcast_to(
-                    ident[..., None].astype(dtype), x.shape
-                )
-                return jnp.where(mask, rolled, ident_b)
+                ib = ident.reshape(
+                    ident.shape + (1,) * (x.ndim - ident.ndim)
+                ).astype(dtype)
+                return jnp.where(mask, rolled, jnp.broadcast_to(ib, x.shape))
 
             partial = jax.tree.map(mk, elems, identity)
             elems = operator(partial, elems)

@@ -78,3 +78,60 @@ def test_vmap_over_batch():
     ells_tl = jax.vmap(lambda y: pkf(ssm, y, True, engine="timelast")[2])(ys)
     ells_g = jax.vmap(lambda y: pkf(ssm, y, True, engine="generic")[2])(ys)
     npt.assert_allclose(ells_tl, ells_g, rtol=1e-9)
+
+
+def test_two_level_scan_matches_flat():
+    """kogge_stone_scan_tl switches to the two-level (blocked) scheme at
+    large T; it must agree with the flat Kogge-Stone bit-for-bit-ish."""
+    from parallel_gps_tpu.kalman.timelast import (
+        _filtering_elements_from_planes,
+        _kogge_stone_flat_tl,
+        filtering_identity_tl,
+        filtering_operator_tl,
+        kogge_stone_scan_tl,
+    )
+
+    T = 9001  # above the blocked threshold, not a power of two
+    rng = np.random.RandomState(0)
+    t = np.sort(rng.rand(T))
+    y = obs_noise(sinu(t), 0.1, 1)
+    y[rng.choice(T, T // 10, replace=False)] = np.nan
+    ys = jnp.asarray(y).reshape(-1, 1)
+    ssm = Matern32(1.0, 0.5).get_ssm_tl(
+        jnp.asarray(t).reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1)
+    )
+    e = _filtering_elements_from_planes(
+        ssm.P0, ssm.Fs, ssm.Qs, ssm.H, ssm.R, ys
+    )
+    ident = filtering_identity_tl(2, ssm.P0.dtype)
+    flat = _kogge_stone_flat_tl(filtering_operator_tl, e, ident)
+    two = kogge_stone_scan_tl(filtering_operator_tl, e, ident)
+    npt.assert_allclose(two.b, flat.b, rtol=1e-9, atol=1e-11)
+    npt.assert_allclose(two.C, flat.C, rtol=1e-9, atol=1e-11)
+
+
+def test_two_level_scan_reverse_smoother_matches_flat():
+    from parallel_gps_tpu.kalman.timelast import (
+        pkf_from_tl,
+        _smoothing_elements_from_planes,
+        _kogge_stone_flat_tl,
+        kogge_stone_scan_tl,
+        smoothing_identity_tl,
+        smoothing_operator_tl,
+    )
+
+    T = 8501
+    rng = np.random.RandomState(3)
+    t = np.sort(rng.rand(T))
+    y = obs_noise(sinu(t), 0.1, 3)
+    ys = jnp.asarray(y).reshape(-1, 1)
+    ssm = Matern32(1.0, 0.5).get_ssm_tl(
+        jnp.asarray(t).reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1)
+    )
+    b, C = pkf_from_tl(ssm, ys)
+    e = _smoothing_elements_from_planes(ssm.Fs, ssm.Qs, b, C)
+    ident = smoothing_identity_tl(2, ssm.P0.dtype)
+    flat = _kogge_stone_flat_tl(smoothing_operator_tl, e, ident, reverse=True)
+    two = kogge_stone_scan_tl(smoothing_operator_tl, e, ident, reverse=True)
+    npt.assert_allclose(two.g, flat.g, rtol=1e-8, atol=1e-10)
+    npt.assert_allclose(two.L, flat.L, rtol=1e-8, atol=1e-10)

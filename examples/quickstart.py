@@ -7,6 +7,12 @@ Run:  python examples/quickstart.py  (CPU ok; add --plot for a figure)
 """
 from __future__ import annotations
 
+import os
+import sys
+
+# Runnable straight from a checkout: python examples/<name>.py
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import argparse
 
 import numpy as np

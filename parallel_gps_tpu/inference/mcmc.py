@@ -417,6 +417,11 @@ def sample_chains(
     axis.  Returns (samples stacked (num_chains, num_samples, ...),
     is_accepted (num_chains, num_samples)).  Compose with a sharded mesh by
     jitting under a ``NamedSharding`` over the chain axis.
+
+    If the target evaluates a StateSpaceGP likelihood on TPU, call
+    ``parallel_gps_tpu.config.set_pallas_lml(False)`` first: the fused
+    single-series Pallas kernels cannot be vmapped (the XLA time-last
+    engine batches fine).
     """
     n_chains = jax.tree.leaves(initial_positions)[0].shape[0]
     keys = jax.random.split(rng, n_chains)

@@ -793,7 +793,9 @@ def _lml_tl_bwd(pallas, residuals, gbar):
     F0 = Fs[:, :, 0]
     Q0 = Qs[:, :, 0]
     Pp0 = F0 @ P0 @ F0.T + Q0
-    Em1 = jnp.linalg.solve(0.5 * (Pp0 + Pp0.T), F0 @ P0).T  # P0 F0ᵀ Pp0⁻¹
+    # Adjugate inverse (d ≤ 3): no LU, works for any dtype/backend.
+    Pp0inv = _inv(_sym(Pp0[:, :, None]))[:, :, 0]
+    Em1 = (Pp0inv @ (F0 @ P0)).T  # P0 F0ᵀ Pp0⁻¹
     E_prev = jnp.concatenate([Em1[:, :, None], E], axis=-1)
     mham1 = Em1 @ mhat[:, 0]  # m̂₋₁ (mp₀ = 0)
     mh_prev = jnp.concatenate([mham1[:, None], mhat[:, :-1]], axis=-1)

@@ -108,18 +108,36 @@ class StateSpaceGP:
         is reused across hyperparameter values and model instances — the
         role of the reference's pre-compiled ``tf.function`` signatures
         (pssgp/model.py:71-84).  Under an outer ``jit``/``grad`` the inner
-        jit is free."""
-        return _lml_jit(self)
+        jit is free.
 
-    def _lml_impl(self) -> Array:
+        The fused Pallas kernels are single-series; they cannot be batched
+        (vmapping a model that traced with them fails at Mosaic lowering).
+        The engine flag is resolved here, OUTSIDE the inner jit, and passed
+        as a static argument so flipping ``config.set_pallas_lml(False)``
+        (required before vmapping over models/chains on TPU) correctly
+        retraces.  A best-effort batch-tracer check also auto-falls-back
+        when this method itself is traced under vmap."""
+        from parallel_gps_tpu import config
+
+        use_pallas = config.PALLAS_LML and jax.default_backend() == "tpu"
+        if use_pallas:
+            try:
+                from jax._src.interpreters import batching
+
+                if any(
+                    isinstance(leaf, batching.BatchTracer)
+                    for leaf in jax.tree.leaves(self)
+                ):
+                    use_pallas = False
+            except ImportError:  # pragma: no cover — private-API drift
+                pass
+        return _lml_jit(self, use_pallas)
+
+    def _lml_impl(self, use_pallas: bool) -> Array:
         ssm = self._make_model(self.ts)
         if isinstance(ssm, LGSSMTL):
-            import jax
-
-            from parallel_gps_tpu import config
             from parallel_gps_tpu.kalman.timelast import lml_tl
 
-            use_pallas = config.PALLAS_LML and jax.default_backend() == "tpu"
             return lml_tl(ssm, self.ys, use_pallas)
         if self.parallel:
             _, _, ell = pkf(ssm, self.ys, return_loglikelihood=True)
@@ -166,5 +184,5 @@ class StateSpaceGP:
 # Module-level jitted method bodies: StateSpaceGP is a flax.struct pytree, so
 # the model itself is a jit argument — one compile per (shapes, engine), then
 # reused across instances and hyperparameter values.
-_lml_jit = jax.jit(StateSpaceGP._lml_impl)
+_lml_jit = jax.jit(StateSpaceGP._lml_impl, static_argnums=(1,))
 _predict_f_jit = jax.jit(StateSpaceGP._predict_f_impl)

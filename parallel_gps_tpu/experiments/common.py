@@ -15,6 +15,17 @@ import time
 import numpy as np
 
 
+def progress(iterable, desc: str | None = None, total: int | None = None):
+    """tqdm progress bar over an iterable, degrading to the plain iterable
+    when tqdm is unavailable (reference host-side bars:
+    pssgp/experiments/toy_models/speed_and_stability.py:75-80)."""
+    try:
+        from tqdm import tqdm
+    except ImportError:  # pragma: no cover - tqdm ships in the image
+        return iterable
+    return tqdm(iterable, desc=desc, total=total)
+
+
 class ModelEnum(enum.Enum):
     GP = "gp"  # dense GPR oracle
     SSGP = "ssgp"  # sequential state-space engine

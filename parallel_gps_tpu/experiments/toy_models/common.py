@@ -14,6 +14,17 @@ class DataEnum(enum.Enum):
     COMPOSITE_SINE = "COMPOSITE_SINE"
     RECT = "RECT"
 
+    @classmethod
+    def _missing_(cls, value):
+        # Launch scripts pass lowercase names (--data-model sine); accept any
+        # casing rather than crashing the whole sweep on argument parsing.
+        if isinstance(value, str):
+            upper = value.upper()
+            for member in cls:
+                if member.value == upper:
+                    return member
+        return None
+
 
 _FUNCS = {
     DataEnum.SINE: sinu,

@@ -40,11 +40,11 @@ def run(args) -> dict:
             rbf_balance_iter=args.rbf_balance_iter,
             qp_order=args.qp_order,
         )
-        for seed in range(args.n_seeds):
-            t, ft, t_pred, ft_pred, y = get_data(
-                seed, n, n, args.data_model, args.noise_variance
-            )
+        for seed in C.progress(range(args.n_seeds), desc=f"n={n}"):
             try:
+                t, ft, t_pred, ft_pred, y = get_data(
+                    seed, n, n, args.data_model, args.noise_variance
+                )
                 model = C.get_model(
                     args.model, (t, y), cov, args.noise_variance
                 )

@@ -151,13 +151,30 @@ class StateSpaceGP:
     def training_loss(self) -> Array:
         return -self.log_marginal_likelihood()
 
-    def predict_f(self, Xnew: Array):
+    def predict_f(self, Xnew: Array, full_cov: bool = False):
         """Posterior mean/variance of f at new inputs
-        (reference: pssgp/model.py:92-111).  Jitted (see
-        :meth:`log_marginal_likelihood`); recompiles only when the number of
-        query points changes."""
+        (reference: pssgp/model.py:92-111).
+
+        ``full_cov`` is accepted for reference API compatibility and, exactly
+        like the reference (pssgp/model.py:92-96), ignored: only marginal
+        variances are returned.
+
+        Query batches are padded up to power-of-two buckets before the jitted
+        body runs, so repeated prediction at varying numbers of query points
+        reuses compiles (one trace per bucket) instead of retracing per exact
+        count — the static-shape replacement for the reference's dynamic-T
+        smoother signature (pssgp/model.py:73-84).  Padding duplicates the
+        last query time with a NaN observation, which leaves the posterior at
+        every real point untouched (dt=0 ⇒ F=I, Q=0, no update)."""
+        del full_cov
         Xnew = jnp.asarray(Xnew, self.ts.dtype).reshape(-1, 1)
-        return _predict_f_jit(self, Xnew)
+        m = Xnew.shape[0]
+        mb = _bucket_size(m)
+        if mb != m:
+            pad = jnp.broadcast_to(Xnew[-1:], (mb - m, 1))
+            Xnew = jnp.concatenate([Xnew, pad], axis=0)
+        mean, var = _predict_f_jit(self, Xnew)
+        return mean[:m], var[:m]
 
     def _predict_f_impl(self, Xnew: Array):
         # Sort queries (and later unsort results): unlike the reference, which
@@ -179,6 +196,13 @@ class StateSpaceGP:
         var = (ssm.H[None] @ sPs_q @ ssm.H.T)[..., 0]  # (M, 1)
         inv_order = jnp.argsort(order)
         return mean[inv_order], var[inv_order]
+
+
+def _bucket_size(m: int, min_bucket: int = 16) -> int:
+    """Round a query count up to the next power-of-two compile bucket."""
+    if m <= min_bucket:
+        return min_bucket
+    return 1 << (m - 1).bit_length()
 
 
 # Module-level jitted method bodies: StateSpaceGP is a flax.struct pytree, so

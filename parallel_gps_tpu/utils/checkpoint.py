@@ -35,6 +35,17 @@ def load_pytree(path: str, like):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as data:
         leaves, treedef = jax.tree_util.tree_flatten(like)
-        n = len(leaves)
-        saved = [data[f"leaf_{i}"] for i in range(n)]
+        saved_repr = str(data["__treedef_repr__"])
+        if saved_repr != repr(treedef):
+            raise ValueError(
+                "checkpoint structure mismatch: saved treedef\n"
+                f"  {saved_repr}\ndoes not match the provided 'like' pytree\n"
+                f"  {treedef!r}"
+            )
+        n_saved = sum(1 for k in data.files if k.startswith("leaf_"))
+        if n_saved != len(leaves):
+            raise ValueError(
+                f"checkpoint has {n_saved} leaves, 'like' has {len(leaves)}"
+            )
+        saved = [data[f"leaf_{i}"] for i in range(len(leaves))]
         return jax.tree_util.tree_unflatten(treedef, saved)

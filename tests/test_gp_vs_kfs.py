@@ -104,3 +104,20 @@ def test_posterior(cov, val_tol, grad_tol):
     mean_ss, var_ss = ss.predict_f(_query)
     npt.assert_allclose(mean_gp, mean_ss, atol=val_tol, rtol=val_tol)
     npt.assert_allclose(var_gp, var_ss, atol=val_tol, rtol=val_tol)
+
+
+# The sequential model-level predict path (merge + NaN injection + reverse
+# smoother) oracle-checked for two representative kernels — restoring the
+# reference's both-engines loop (tests/test_gp_vs_kfs.py:88) at a fraction of
+# the compile cost.
+@pytest.mark.parametrize(
+    "idx", [1, 4], ids=["m32-sequential", "periodic10-sequential"]
+)
+def test_posterior_sequential(idx):
+    cov, val_tol, _ = COVS[idx]
+    gp = GPR(ts=DATA[0], ys=DATA[1], kernel=cov, noise_variance=jnp.asarray(0.1))
+    mean_gp, var_gp = gp.predict_f(jnp.asarray(_query).reshape(-1, 1))
+    ss = StateSpaceGP.create(DATA, cov, 0.1, parallel=False)
+    mean_ss, var_ss = ss.predict_f(_query)
+    npt.assert_allclose(mean_gp, mean_ss, atol=val_tol, rtol=val_tol)
+    npt.assert_allclose(var_gp, var_ss, atol=val_tol, rtol=val_tol)

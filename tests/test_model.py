@@ -89,6 +89,44 @@ def test_partial_nan_equals_dropping_rows_for_lml(parallel):
     assert np.isfinite(float(masked.log_marginal_likelihood()))
 
 
+def test_prediction_bucket_reuses_compile():
+    # Query batches are padded to power-of-two buckets: two different query
+    # counts in one bucket must trigger exactly one trace (SURVEY §7 hard
+    # part (e): static-shape replacement for the reference's dynamic-T
+    # smoother signature, pssgp/model.py:73-84).
+    from parallel_gps_tpu.models.ssgp import _bucket_size, _predict_f_jit
+
+    assert _bucket_size(17) == _bucket_size(29) == 32
+    model = _toy_model(parallel=False, n=48, seed=7)
+    q = np.linspace(0.05, 0.95, 17)
+    model.predict_f(q)
+    mid = _predict_f_jit._cache_size()
+    m2, v2 = model.predict_f(np.linspace(0.05, 0.95, 29))
+    assert _predict_f_jit._cache_size() == mid  # same bucket: no retrace
+    assert m2.shape == (29, 1) and v2.shape == (29, 1)
+
+
+def test_prediction_padding_does_not_perturb():
+    # Padding duplicates the last query time; posterior at the real query
+    # points must be bit-comparable with an exact-bucket-size query.
+    model = _toy_model(parallel=True, n=48, seed=7)
+    q32 = np.linspace(0.05, 0.95, 32)  # exact bucket, no padding
+    m_full, v_full = model.predict_f(q32)
+    m_pad, v_pad = model.predict_f(q32[:29])  # padded up to 32
+    np.testing.assert_allclose(np.asarray(m_pad), np.asarray(m_full)[:29], rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_pad), np.asarray(v_full)[:29], rtol=1e-9)
+
+
+def test_predict_f_accepts_full_cov_kwarg():
+    # Reference API compat: full_cov is accepted and ignored
+    # (pssgp/model.py:92-96 — the reference also returns marginals only).
+    model = _toy_model(parallel=False, n=32)
+    m1, v1 = model.predict_f(np.asarray([0.25, 0.5]), full_cov=True)
+    m2, v2 = model.predict_f(np.asarray([0.25, 0.5]))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
 def test_single_observation():
     model = pgt.StateSpaceGP.create(
         (np.asarray([0.5]), np.asarray([1.0])),

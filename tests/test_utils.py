@@ -30,6 +30,17 @@ def test_pytree_checkpoint_round_trip(tmp_path):
     npt.assert_allclose(np.asarray(restored["history"]), np.arange(5.0))
 
 
+def test_pytree_checkpoint_rejects_structure_mismatch(tmp_path):
+    import pytest
+
+    path = os.path.join(tmp_path, "params.npz")
+    save_pytree(path, {"a": jnp.ones(3), "b": jnp.zeros(())})
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_pytree(path, {"a": jnp.ones(3), "c": jnp.zeros(())})
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_pytree(path, [jnp.ones(3), jnp.zeros(())])
+
+
 def test_timed_blocks_on_sync():
     x = jnp.ones((64, 64))
     results = {}

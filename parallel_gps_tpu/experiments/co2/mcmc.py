@@ -20,6 +20,23 @@ from parallel_gps_tpu.experiments.co2.common import (
 )
 
 
+def _plot(args, model, samples, t, y, y_mean):
+    import os
+
+    from parallel_gps_tpu.experiments.plots import plot_posterior_predictive
+
+    plot_posterior_predictive(
+        model,
+        samples,
+        t,
+        y,
+        os.path.join(args.out_dir, f"co2_mcmc_{args.model}_{args.mcmc}.png"),
+        trainable=trainable,
+        y_offset=0.0,
+        title=f"CO2 posterior predictive (qp_order={args.qp_order}, {args.mcmc})",
+    )
+
+
 def run(args) -> dict:
     import jax
 
@@ -27,6 +44,25 @@ def run(args) -> dict:
     t, y = get_data(args.n_training, args.data_dir)
     # Center the observations (the model is zero-mean).
     y_mean = float(np.mean(y))
+    if getattr(args, "no_run", False):
+        if args.plot:
+            import os
+
+            model = C.get_model(
+                args.model,
+                (t, y - y_mean),
+                get_covariance_function(args.qp_order),
+                args.noise_variance,
+            )
+            samples = C.load_samples(
+                os.path.join(
+                    args.out_dir, f"co2_mcmc_{args.model}_{args.mcmc}.npz"
+                ),
+                model,
+            )
+            _plot(args, model, samples, t, y - y_mean, y_mean)
+        return {}
+
     model = C.get_model(
         args.model,
         (t, y - y_mean),
@@ -54,6 +90,8 @@ def run(args) -> dict:
             for j, leaf in enumerate(jax.tree_util.tree_leaves(samples))
         },
     )
+    if args.plot:
+        _plot(args, model, samples, t, y - y_mean, y_mean)
     return {"wall": wall, "accept": acc}
 
 
@@ -64,6 +102,8 @@ def main():
     p.add_argument("--n-samples", type=int, default=1000)
     p.add_argument("--burnin", type=int, default=100)
     p.add_argument("--step-size", type=float, default=0.01)
+    p.add_argument("--plot", action="store_true", help="posterior-predictive spaghetti figure")
+    p.add_argument("--no-run", action="store_true", help="skip sampling (reload saved results)")
     p.set_defaults(noise_variance=0.05)
     run(p.parse_args())
 

@@ -204,6 +204,24 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
+def load_samples(npz_path: str, model):
+    """Rebuild the unconstrained-sample pytree saved by the MCMC experiments
+    (flattened ``sample_{j}`` leaves) for a model with the same hyperparameter
+    structure — the reload half of the reference's --plot paths
+    (pssgp/experiments/sunspot/mcmc.py:77-99)."""
+    import jax
+
+    from parallel_gps_tpu.models.params import as_arrays, unconstrain
+
+    hypers0 = as_arrays(
+        unconstrain({"kernel": model.kernel, "noise_variance": model.noise_variance})
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(hypers0)
+    with np.load(npz_path) as data:
+        saved = [data[f"sample_{j}"] for j in range(len(leaves))]
+    return jax.tree_util.tree_unflatten(treedef, saved)
+
+
 def save_results(out_dir: str, name: str, **arrays) -> str:
     import os
 

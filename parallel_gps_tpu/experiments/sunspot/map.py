@@ -26,6 +26,20 @@ from parallel_gps_tpu.experiments.sunspot.common import (
 
 
 def run(args) -> dict:
+    import os
+
+    if getattr(args, "no_run", False):
+        if args.plot:
+            from parallel_gps_tpu.experiments.plots import plot_map_prediction
+
+            for n in args.sizes:
+                plot_map_prediction(
+                    os.path.join(
+                        args.out_dir, f"sunspot_map_{args.model}_n{n}.npz"
+                    )
+                )
+        return {}
+
     import jax
 
     C.set_dtype(args.dtype, args.platform)
@@ -54,7 +68,7 @@ def run(args) -> dict:
             f"n={n}: map_wall={wall:.1f}s loss={float(history[-1]):.2f} "
             f"pred({n_pred} pts)_wall={wall_pred:.1f}s"
         )
-        C.save_results(
+        path = C.save_results(
             args.out_dir,
             f"sunspot_map_{args.model}_n{n}",
             t=t,
@@ -66,6 +80,10 @@ def run(args) -> dict:
             wall=wall,
             wall_pred=wall_pred,
         )
+        if args.plot:
+            from parallel_gps_tpu.experiments.plots import plot_map_prediction
+
+            plot_map_prediction(path)
         out[n] = (wall, wall_pred)
     return out
 
@@ -75,6 +93,8 @@ def main():
     p.add_argument("--sizes", type=int, nargs="+", default=[1200, 2200, 3200])
     p.add_argument("--maxiter", type=int, default=100)
     p.add_argument("--pred-factor", type=int, default=30)
+    p.add_argument("--plot", action="store_true", help="regenerate the CI prediction figure")
+    p.add_argument("--no-run", action="store_true", help="skip the fit (reload saved results)")
     p.set_defaults(noise_variance=300.0)
     run(p.parse_args())
 

@@ -18,8 +18,45 @@ from parallel_gps_tpu.experiments.sunspot.common import (
 )
 
 
+def _plot_one(args, n, model, samples, t, y):
+    import os
+
+    from parallel_gps_tpu.experiments.plots import plot_posterior_predictive
+
+    plot_posterior_predictive(
+        model,
+        samples,
+        t,
+        y,
+        os.path.join(
+            args.out_dir, f"sunspot_mcmc_{args.model}_{args.mcmc}_n{n}.png"
+        ),
+        title=f"sunspot posterior predictive (n={n}, {args.mcmc})",
+    )
+
+
 def run(args) -> dict:
+    import os
+
     C.set_dtype(args.dtype, args.platform)
+    if getattr(args, "no_run", False):
+        if args.plot:
+            for n in args.sizes:
+                t, y = get_data(n, args.data_dir)
+                model = C.get_model(
+                    args.model, (t, y), get_covariance_function(),
+                    args.noise_variance,
+                )
+                samples = C.load_samples(
+                    os.path.join(
+                        args.out_dir,
+                        f"sunspot_mcmc_{args.model}_{args.mcmc}_n{n}.npz",
+                    ),
+                    model,
+                )
+                _plot_one(args, n, model, samples, t, y)
+        return {}
+
     walls, accepts = [], []
     for i, n in enumerate(args.sizes):
         t, y = get_data(n, args.data_dir)
@@ -50,6 +87,8 @@ def run(args) -> dict:
                 for j, leaf in enumerate(jax.tree_util.tree_leaves(samples))
             },
         )
+        if args.plot:
+            _plot_one(args, n, model, samples, t, y)
     return {"walls": walls, "accepts": accepts}
 
 
@@ -60,6 +99,8 @@ def main():
     p.add_argument("--n-samples", type=int, default=1000)
     p.add_argument("--burnin", type=int, default=100)
     p.add_argument("--step-size", type=float, default=1.0)
+    p.add_argument("--plot", action="store_true", help="posterior-predictive spaghetti figure")
+    p.add_argument("--no-run", action="store_true", help="skip sampling (reload saved results)")
     p.set_defaults(noise_variance=300.0)
     run(p.parse_args())
 

@@ -24,6 +24,16 @@ from parallel_gps_tpu.misc_utils import rmse
 
 
 def run(args) -> dict:
+    import os
+
+    name = f"speed_stability_{args.model}_{args.cov}_{args.dtype}"
+    if getattr(args, "no_run", False):
+        if args.plot:
+            from parallel_gps_tpu.experiments.plots import plot_speed_stability
+
+            plot_speed_stability(os.path.join(args.out_dir, name + ".npz"))
+        return {}
+
     import jax
 
     C.set_dtype(args.dtype, args.platform)
@@ -61,10 +71,13 @@ def run(args) -> dict:
                 f"time={times[i, seed]:.3f}s"
             )
 
-    name = f"speed_stability_{args.model}_{args.cov}_{args.dtype}"
-    C.save_results(
+    path = C.save_results(
         args.out_dir, name, sizes=np.asarray(sizes), rmses=rmses, times=times
     )
+    if args.plot:
+        from parallel_gps_tpu.experiments.plots import plot_speed_stability
+
+        plot_speed_stability(path)
     return {"sizes": sizes, "rmses": rmses, "times": times}
 
 
@@ -73,6 +86,8 @@ def main():
     p.add_argument("--data-model", default="SINE")
     p.add_argument("--log2-sizes", type=int, nargs="+", default=[12, 13, 14, 15])
     p.add_argument("--n-seeds", type=int, default=21)
+    p.add_argument("--plot", action="store_true", help="regenerate the ridgeline figure")
+    p.add_argument("--no-run", action="store_true", help="skip the sweep (reload saved results)")
     run(p.parse_args())
 
 

@@ -41,6 +41,24 @@ def _median_time(fn, *args, reps=REPS):
     return (time.perf_counter() - t0) / reps, out
 
 
+HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", 819.0))  # v5e chip
+
+
+def _sol_seconds(n: int, d: int, dtype_bytes: int = 4) -> float:
+    """Speed-of-light wall time for pkfs at T=n from the HBM roofline.
+
+    The op's minimum possible traffic: read the SSM planes once
+    (F (d²), Q (d²), y (1), mask-source (0 — folded in y)) and write the
+    smoothed moments once (g (d), L (d²)) — a perfectly fused implementation
+    touching HBM exactly once per plane.  Compute is negligible relative to
+    bandwidth for d ≤ 3 (the VPU sustains ~100× more flops than the ~150
+    flops/step the combine needs per loaded byte at this intensity).
+    """
+    planes_in = 2 * d * d + 1
+    planes_out = d * d + d
+    return (planes_in + planes_out) * n * dtype_bytes / (HBM_GBPS * 1e9)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -94,6 +112,16 @@ def main():
     t_seq, _ = _median_time(seq, ssm_tf, ys[:N_SEQ], reps=max(2, REPS - 2))
     tsps_seq = N_SEQ / t_seq
 
+    # Speed-of-light fraction (BASELINE.md target row): HBM-roofline minimum
+    # wall vs measured, both as-is and with the fixed per-dispatch link
+    # overhead of the tunneled chip subtracted (measured with an empty
+    # program — it dominates sub-3 ms walls through the tunnel).
+    trivial = jax.jit(lambda x: x + 1.0)
+    t_disp, _ = _median_time(trivial, ys)
+    t_sol = _sol_seconds(N, d=2)
+    sol = t_sol / t_par
+    sol_device = t_sol / max(t_par - t_disp, 1e-9)
+
     print(
         json.dumps(
             {
@@ -104,6 +132,10 @@ def main():
                 "baseline": f"sequential-scan engine ({round(tsps_seq, 1)} timesteps/s)",
                 "finite": finite,
                 "wall_s": round(t_par, 4),
+                "sol_fraction": round(sol, 4),
+                "sol_fraction_device": round(min(sol_device, 1.0), 4),
+                "sol_wall_s": round(t_sol, 6),
+                "dispatch_wall_s": round(t_disp, 4),
                 "engine": engine,
                 "device": str(jax.devices()[0].platform),
             }

@@ -589,16 +589,6 @@ def pkfs_pallas(lgssm: LGSSM, observations: Array, interpret: bool = False):
 # --------------------------------------------------------------------------
 
 
-def _planes_to_time_first(plane: Array, d_shape, interpret: bool = False):
-    """(n, T) packed plane → (T, *d_shape) via the Pallas blockwise
-    transpose (falls back to moveaxis under AD or on CPU interpret)."""
-    from parallel_gps_tpu.kalman.pallas_scan import plane_transpose
-
-    T = plane.shape[-1]
-    out = plane_transpose(plane, interpret=interpret)  # (T, n)
-    return out.reshape((T,) + tuple(d_shape))
-
-
 def pkf_from_tl(
     lgssm_tl,
     observations: Array,
@@ -703,13 +693,11 @@ def pkfs_from_tl(
     )
     if not time_first_out:
         return g_tl, L_tl
-    T = g_tl.shape[-1]
-    if pallas:
-        sms = _planes_to_time_first(g_tl, (d,), interpret=interpret)
-        sPs = _planes_to_time_first(
-            L_tl.reshape(d * d, T), (d, d), interpret=interpret
-        )
-        return sms, sPs
+    # Plain XLA moveaxis for the final (d, T) → (T, d) conversion: measured
+    # ~1.3 ms/plane-set at T=10⁶ on v5e vs ~4 ms for the blockwise Pallas
+    # transpose (XLA fuses the relayout into the copy out of the apply
+    # kernels) — the transposes were the dominant cost of the round-1
+    # pipeline (~6 ms of the 9.2 ms pkfs wall).
     return jnp.moveaxis(g_tl, -1, 0), jnp.moveaxis(L_tl, -1, 0)
 
 

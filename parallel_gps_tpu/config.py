@@ -22,11 +22,11 @@ def set_number_balancing_steps(n: int) -> None:
     NUMBER_OF_BALANCING_STEPS = int(n)
 
 
-# Whether StateSpaceGP's LML uses the fused Pallas kernels on TPU.  The
-# Pallas path is single-series: under ``vmap`` (batched GPs / chains) it
-# fails at lowering — turn it off there and the XLA time-last engine is used
-# instead (which vmaps fine, and the batch dimension fills the sublanes the
-# Pallas strips otherwise provide).
+# Whether StateSpaceGP's LML uses the fused Pallas kernels on TPU.  Under
+# ``vmap`` (batched GPs / chains) the entry points dispatch to the
+# batched-sublane kernels via custom_vmap (kalman/pallas_scan.py), so this
+# stays on for batched work; setting it False is a manual escape hatch to
+# the differentiable XLA time-last engine.
 PALLAS_LML: bool = True
 
 

@@ -77,6 +77,7 @@ def run(args) -> dict:
         burnin=args.burnin,
         step_size=args.step_size,
         trainable=trainable,
+        progress=args.progress,
     )
     print(f"n={t.shape[0]}: accept={acc:.3f} wall={wall:.1f}s")
     C.save_results(

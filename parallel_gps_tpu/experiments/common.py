@@ -149,10 +149,19 @@ def run_one_mcmc(
     num_leapfrog_steps: int = 10,
     seed: int = 0,
     trainable=None,
+    progress: bool | int = False,
 ):
     """Sample hyperparameter posteriors; returns (samples_unconstrained pytree,
     acceptance_rate, wall_seconds).  Failures record NaNs and keep going —
-    the sweep convention of the reference (common.py:74-92)."""
+    the sweep convention of the reference (common.py:74-92).
+
+    ``progress``: in-chain progress reporting (the reference's TFP
+    ``ProgressBarReducer``, common.py:117-121).  The fully-jitted chain
+    cannot call back mid-``lax.scan``, so the run is split into segments
+    (``progress`` as an int = segment count, True = 10) with a tqdm update
+    between segments; each segment resumes from the previous final state, so
+    results are a valid chain (the RNG stream differs from the unsegmented
+    run by the extra key splits)."""
     import jax
     from jax.flatten_util import ravel_pytree
 
@@ -171,9 +180,43 @@ def run_one_mcmc(
     rng = jax.random.PRNGKey(seed)
     t0 = time.time()
     try:
-        samples, accept = sample_chain(
-            kernel, u0, log_post, rng, n_samples, burnin
-        )
+        if not progress:
+            samples, accept = sample_chain(
+                kernel, u0, log_post, rng, n_samples, burnin
+            )
+        else:
+            n_segments = 10 if progress is True else int(progress)
+            seg = max(1, n_samples // n_segments)
+            progress_bar = None
+            try:
+                from tqdm import tqdm
+
+                progress_bar = tqdm(total=n_samples, desc=f"{algo} chain")
+            except ImportError:  # pragma: no cover
+                pass
+            pieces, accepts = [], []
+            position, done = u0, 0
+            while done < n_samples:
+                n_i = min(seg, n_samples - done)
+                rng, key = jax.random.split(rng)
+                s_i, a_i = sample_chain(
+                    kernel, position, log_post, key, n_i,
+                    burnin if done == 0 else 0,
+                )
+                jax.block_until_ready(a_i)
+                position = jax.tree.map(lambda x: x[-1], s_i)
+                pieces.append(s_i)
+                accepts.append(np.asarray(a_i))
+                done += n_i
+                if progress_bar is not None:
+                    progress_bar.update(n_i)
+            if progress_bar is not None:
+                progress_bar.close()
+            samples = jax.tree.map(
+                lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
+                *pieces,
+            )
+            accept = np.concatenate(accepts)
         jax.block_until_ready(samples)
         wall = time.time() - t0
         return samples, float(np.mean(np.asarray(accept))), wall
@@ -200,6 +243,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--rbf-balance-iter", type=int, default=10)
     p.add_argument("--qp-order", type=int, default=3)
     p.add_argument("--out-dir", default="results")
+    p.add_argument("--progress", action="store_true",
+                   help="in-chain tqdm progress (segmented sampling)")
     p.add_argument("--data-dir", default=None)
     return p
 

@@ -71,6 +71,7 @@ def run(args) -> dict:
             burnin=args.burnin,
             step_size=args.step_size,
             seed=i,
+            progress=args.progress,
         )
         walls.append(wall)
         accepts.append(acc)

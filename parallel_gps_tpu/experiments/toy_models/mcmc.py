@@ -59,6 +59,7 @@ def run(args) -> dict:
             burnin=args.burnin,
             step_size=args.step_size,
             seed=i,
+            progress=args.progress,
         )
         walls[i], accepts[i] = wall, acc
         all_samples[f"n{n}"] = samples

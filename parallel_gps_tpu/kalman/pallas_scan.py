@@ -27,7 +27,7 @@ the differentiable XLA time-last engine is used under ``jax.grad`` (see
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -812,6 +812,518 @@ def strip_filter(
     b_tl = b_st.reshape(d, Tp)[:, :T]
     C_tl = c_st.reshape(d2, Tp)[:, :T].reshape(d, d, T)
     return b_tl, C_tl, ell[0]
+
+
+# --------------------------------------------------------------------------
+# Batched engine: BATCH on sublanes × time on lanes.
+#
+# The strip engine above splits ONE series into 8 sublane strips and pays a
+# cross-strip prefix fix-up (two kernel passes + tiny glue).  For batched
+# work (vmapped MCMC chains / independent GPs — BASELINE.json config 5) the
+# batch axis itself fills the sublanes: each sublane is a COMPLETE series,
+# so the per-sublane lane scans are independent and the whole filter
+# (elements + scan + moments + streaming log-likelihood) is ONE kernel pass
+# with a VMEM carry — strictly less machinery than the single-series path.
+# Round 1 fell back to the XLA time-last engine under vmap (log2(T) full HBM
+# passes); this engine is the batch-aware fused path VERDICT.md item 5 asks
+# for, exposed transparently through ``jax.custom_batching.custom_vmap`` on
+# the single-series entry points.
+# --------------------------------------------------------------------------
+
+
+def _batched_filter_kernel(
+    scal_ref, f_ref, q_ref, y_ref, mask_ref, b_out, c_out, ell_out,
+    carry_ref, acc_ref, *, d, nb
+):
+    """Single-pass batched filter: 8 series on sublanes, carry across time
+    blocks.  The (group, time-block) iteration space is flattened to a 1-D
+    grid (i = g·nb + b) — time blocks iterate innermost, so the VMEM carry
+    resets at each group's first block."""
+    import jax.experimental.pallas as pl
+
+    i_b = pl.program_id(0) % nb
+    n = filt_rows(d)
+    d2 = d * d
+    S, Lb = f_ref.shape[1], f_ref.shape[2]
+    dtype = f_ref.dtype
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    def col(k):
+        return jnp.broadcast_to(scal_ref[k, :, 0:1], (S, Lb))
+
+    @pl.when(i_b == 0)
+    def _():
+        carry_ref[:] = jnp.stack(
+            _ident_rows_list(n, ident_rows, (S, carry_ref.shape[2]), dtype),
+            axis=0,
+        )
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    F = [[f_ref[a * d + c] for c in range(d)] for a in range(d)]
+    Q = [[q_ref[a * d + c] for c in range(d)] for a in range(d)]
+    y = y_ref[0]
+    mask = mask_ref[0]
+    P0v = [[col(a * d + c) for c in range(d)] for a in range(d)]
+    h = [col(d2 + k) for k in range(d)]
+    r = col(d2 + d)
+
+    HQ = [sum(h[k] * Q[k][j] for k in range(d)) for j in range(d)]
+    Sv = sum(h[j] * HQ[j] for j in range(d)) + r
+    Sinv = 1.0 / Sv
+    K = [HQ[j] * Sinv for j in range(d)]
+    HF = [sum(h[k] * F[k][j] for k in range(d)) for j in range(d)]
+
+    A = [[F[a][c] - mask * (K[a] * HF[c]) for c in range(d)] for a in range(d)]
+    b = [mask * (K[a] * y) for a in range(d)]
+    C = [[Q[a][c] - mask * (K[a] * HQ[c]) for c in range(d)] for a in range(d)]
+    eta = [mask * (HF[a] * Sinv * y) for a in range(d)]
+    J = [[mask * (HF[a] * HF[c] * Sinv) for c in range(d)] for a in range(d)]
+
+    # Every series' first element (lane 0 of time-block 0, ALL sublanes):
+    # update against (m0=0, P0); at those positions y equals the series' y0.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
+    lane0 = lane == 0
+    is_first = jnp.logical_and(lane0, jnp.full((S, Lb), i_b == 0))
+    P0h = [sum(P0v[a][k] * h[k] for k in range(d)) for a in range(d)]
+    S1 = sum(h[k] * P0h[k] for k in range(d)) + r
+    K1 = [P0h[a] / S1 for a in range(d)]
+    for a in range(d):
+        b[a] = jnp.where(is_first, mask * (K1[a] * y), b[a])
+        for c in range(d):
+            A[a][c] = jnp.where(is_first, jnp.zeros_like(A[a][c]), A[a][c])
+            C[a][c] = jnp.where(
+                is_first, P0v[a][c] - mask * (K1[a] * P0h[c]), C[a][c]
+            )
+
+    rows = (
+        [A[a][c] for a in range(d) for c in range(d)]
+        + b
+        + [C[a][c] for a in range(d) for c in range(d)]
+        + [J[a][c] for a in range(d) for c in range(d)]
+        + eta
+    )
+    rows = _strip_ks_rounds(rows, _filt_combine_rows, d, ident_rows, False)
+    prefix = [
+        jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb)) for k in range(n)
+    ]
+    out_rows = _filt_combine_rows(prefix, rows, d)
+    b_rows = out_rows[d2 : d2 + d]
+    c_rows = out_rows[d2 + d : 2 * d2 + d]
+    b_out[:] = jnp.stack(b_rows, axis=0)
+    c_out[:] = jnp.stack(c_rows, axis=0)
+
+    # Streaming log-likelihood (reference parallel.py:135-151): previous
+    # moments are a 1-lane shift; lane 0 of each block comes from the carry
+    # prefix element's (b, C) — the filtered moments at the end of the
+    # previous block — and the series' very first lane uses (0, P0).
+    mprev = [
+        jnp.where(
+            lane0,
+            jnp.broadcast_to(carry_ref[d2 + a, :, 0:1], (S, Lb)),
+            _roll(b_rows[a], 1, False),
+        )
+        for a in range(d)
+    ]
+    Pprev = [
+        [
+            jnp.where(
+                lane0,
+                jnp.broadcast_to(
+                    carry_ref[d2 + d + a * d + c, :, 0:1], (S, Lb)
+                ),
+                _roll(c_rows[a * d + c], 1, False),
+            )
+            for c in range(d)
+        ]
+        for a in range(d)
+    ]
+    for a in range(d):
+        mprev[a] = jnp.where(is_first, jnp.zeros_like(mprev[a]), mprev[a])
+        for c in range(d):
+            Pprev[a][c] = jnp.where(is_first, P0v[a][c], Pprev[a][c])
+
+    mp = _mv(F, mprev, d)
+    Pp = _madd(_mm(_mm(F, Pprev, d), _mt(F, d), d), Q, d)
+    mean = sum(h[a] * mp[a] for a in range(d))
+    Pph = [sum(Pp[a][k] * h[k] for k in range(d)) for a in range(d)]
+    var = sum(h[a] * Pph[a] for a in range(d)) + r
+    diff = y - mean
+    logp = -0.5 * (diff * diff / var + jnp.log(var) + math.log(2.0 * math.pi))
+    logp = jnp.where(mask > 0, logp, 0.0)
+    # Per-sublane accumulation: fold the block's lanes into the (S, 128)
+    # accumulator in 128-lane chunks (lane-position sums; the host reduces
+    # the final 128 lanes).
+    acc = acc_ref[:]
+    if Lb >= 128:
+        for k in range(Lb // 128):
+            acc = acc + logp[:, k * 128 : (k + 1) * 128]
+    else:  # small test blocks: accumulate into the first Lb lanes
+        acc = acc + jnp.concatenate(
+            [logp, jnp.zeros((S, 128 - Lb), dtype)], axis=-1
+        )
+    acc_ref[:] = acc
+    ell_out[0] = acc
+
+    carry_ref[:] = jnp.broadcast_to(
+        jnp.stack(out_rows, axis=0)[:, :, Lb - 1 : Lb], carry_ref.shape
+    )
+
+
+def _batched_smoother_kernel(
+    h_ref, f_ref, q_ref, b_ref, c_ref, g_out, l_out, mean_out, var_out,
+    carry_ref, *, d, nb
+):
+    """Single-pass batched smoother (reverse over time blocks): 8 series on
+    sublanes; the carry holds the suffix element plus the next block's
+    boundary F/Q columns; fused H-projection (mean/var planes) on the side.
+    1-D flattened grid (see the filter kernel)."""
+    import jax.experimental.pallas as pl
+
+    i_b = pl.program_id(0) % nb
+    n = smooth_rows(d)
+    d2 = d * d
+    S, Lb = f_ref.shape[1], f_ref.shape[2]
+    dtype = f_ref.dtype
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    @pl.when(i_b == 0)
+    def _():
+        pre = jnp.stack(
+            _ident_rows_list(n, ident_rows, (S, carry_ref.shape[2]), dtype),
+            axis=0,
+        )
+        carry_ref[0:n] = pre
+        carry_ref[n:] = jnp.zeros_like(carry_ref[n:])
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
+    is_last_lane = lane == (Lb - 1)
+
+    def next_val(base_ref, k, stash_row):
+        rolled = _roll(base_ref[k], 1, True)
+        stash = jnp.broadcast_to(
+            carry_ref[n + stash_row + k, :, 0:1], (S, Lb)
+        )
+        return jnp.where(is_last_lane, stash, rolled)
+
+    Fn = [[next_val(f_ref, a * d + c, 0) for c in range(d)] for a in range(d)]
+    Qn = [[next_val(q_ref, a * d + c, d2) for c in range(d)] for a in range(d)]
+    m = [b_ref[a] for a in range(d)]
+    P = [[c_ref[a * d + c] for c in range(d)] for a in range(d)]
+
+    FP = _mm(Fn, P, d)
+    Pp = _sym(_madd(_mm(FP, _mt(Fn, d), d), Qn, d), d)
+    E = _mt(_mm(_inv(Pp, d), FP, d), d)
+    g = _vsub(m, _mv(_mm(E, Fn, d), m, d), d)
+    Lm = _sym(
+        [
+            [
+                P[a][c]
+                - sum(
+                    E[a][k1] * sum(Pp[k1][k2] * E[c][k2] for k2 in range(d))
+                    for k1 in range(d)
+                )
+                for c in range(d)
+            ]
+            for a in range(d)
+        ],
+        d,
+    )
+
+    # Every series' LAST element (last lane of the last time block, which is
+    # grid step 0 of the reverse walk): (E=0, g=m_T, L=P_T).
+    is_global_last = jnp.logical_and(
+        is_last_lane, jnp.full((S, Lb), i_b == 0)
+    )
+    for a in range(d):
+        g[a] = jnp.where(is_global_last, m[a], g[a])
+        for c in range(d):
+            E[a][c] = jnp.where(is_global_last, jnp.zeros_like(E[a][c]), E[a][c])
+            Lm[a][c] = jnp.where(is_global_last, P[a][c], Lm[a][c])
+
+    rows = (
+        [E[a][c] for a in range(d) for c in range(d)]
+        + g
+        + [Lm[a][c] for a in range(d) for c in range(d)]
+    )
+    rows = _strip_ks_rounds(rows, _smooth_combine_rows, d, ident_rows, True)
+    suffix = [
+        jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb)) for k in range(n)
+    ]
+    out_rows = _smooth_combine_rows(suffix, rows, d)
+    g_rows = out_rows[d2 : d2 + d]
+    l_rows = out_rows[d2 + d :]
+    g_out[:] = jnp.stack(g_rows, axis=0)
+    l_out[:] = jnp.stack(l_rows, axis=0)
+
+    # Fused H-projection: posterior mean/variance of f, straight to planes.
+    h = [jnp.broadcast_to(h_ref[k, :, 0:1], (S, Lb)) for k in range(d)]
+    mean_out[0] = sum(h[a] * g_rows[a] for a in range(d))
+    var_out[0] = sum(
+        h[a] * h[c] * l_rows[a * d + c] for a in range(d) for c in range(d)
+    )
+
+    carry_ref[0:n] = jnp.broadcast_to(
+        jnp.stack(out_rows, axis=0)[:, :, 0:1], (n,) + carry_ref.shape[1:]
+    )
+    carry_ref[n : n + d2] = jnp.broadcast_to(
+        f_ref[:][:, :, 0:1], (d2,) + carry_ref.shape[1:]
+    )
+    carry_ref[n + d2 :] = jnp.broadcast_to(
+        q_ref[:][:, :, 0:1], (d2,) + carry_ref.shape[1:]
+    )
+
+
+def _pad_batch(x, B_pad, axis):
+    B = x.shape[axis]
+    if B == B_pad:
+        return x
+    reps = [x.take(jnp.asarray([B - 1]), axis=axis)] * (B_pad - B)
+    return jnp.concatenate([x] + reps, axis=axis)
+
+
+def batched_strip_filter(
+    Fs_bt: Array,  # (d, d, B, T)
+    Qs_bt: Array,
+    P0_b: Array,  # (B, d, d)
+    H_b: Array,  # (B, 1, d)
+    R_b: Array,  # (B, 1, 1)
+    ys_b: Array,  # (B, T)
+    block: int = DEFAULT_STRIP_BLOCK,
+    interpret: bool = False,
+):
+    """Batched fused filter; returns (b (d, B, T), C (d, d, B, T), ell (B,))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = P0_b.shape[-1]
+    d2 = d * d
+    B, T = ys_b.shape
+    dtype = P0_b.dtype
+    S = N_STRIPS
+    B_pad = -(-B // S) * S
+    G = B_pad // S
+    NB = -(-T // block)
+    Tp = NB * block
+
+    mask = jnp.logical_not(jnp.isnan(ys_b))
+    y = jnp.where(mask, jnp.nan_to_num(ys_b), 0.0)
+    maskf = mask.astype(dtype)
+
+    def pad(x, fill):  # pad batch (axis -2) and time (axis -1, at the END)
+        x = _pad_batch(x, B_pad, x.ndim - 2)
+        if Tp != T:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(fill, x.shape[:-1] + (Tp - T,))], axis=-1
+            )
+        return x
+
+    eye_col = jnp.eye(d, dtype=dtype).reshape(d2, 1, 1)
+    F_p = pad(Fs_bt.reshape(d2, B, T), eye_col)
+    Q_p = pad(Qs_bt.reshape(d2, B, T), jnp.zeros((d2, 1, 1), dtype))
+    y_p = pad(y[None], jnp.zeros((1, 1, 1), dtype))
+    m_p = pad(maskf[None], jnp.zeros((1, 1, 1), dtype))
+
+    # Per-series scalars, broadcast along a 128-lane axis:
+    # rows = [P0 (d²), h (d), r (1)].
+    scal = jnp.concatenate(
+        [
+            jnp.moveaxis(P0_b.reshape(B, d2), 0, 1),
+            jnp.moveaxis(H_b.reshape(B, d).astype(dtype), 0, 1),
+            jnp.moveaxis(R_b.reshape(B, 1).astype(dtype), 0, 1),
+        ],
+        axis=0,
+    )  # (nscal, B)
+    scal = _pad_batch(scal, B_pad, 1)
+    scal_v = jnp.broadcast_to(scal[:, :, None], scal.shape + (128,))
+
+    n = filt_rows(d)
+    mk = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, S, block),
+        lambda i: (0, i // NB, i % NB),
+        memory_space=pltpu.VMEM,
+    )
+    cst = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, S, 128),
+        lambda i: (0, i // NB, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    b_p, c_p, ell_p = pl.pallas_call(
+        partial(_batched_filter_kernel, d=d, nb=NB),
+        grid=(G * NB,),
+        in_specs=[cst(d2 + d + 1), mk(d2), mk(d2), mk(1), mk(1)],
+        out_specs=(mk(d), mk(d2), cst(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, B_pad, Tp), dtype),
+            jax.ShapeDtypeStruct((d2, B_pad, Tp), dtype),
+            jax.ShapeDtypeStruct((1, B_pad, 128), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, S, 128), dtype),
+            pltpu.VMEM((S, 128), dtype),
+        ],
+        interpret=interpret,
+    )(scal_v, F_p, Q_p, y_p, m_p)
+
+    b_bt = b_p[:, :B, :T]
+    C_bt = c_p[:, :B, :T].reshape(d, d, B, T)
+    ell = jnp.sum(ell_p[0, :B, :], axis=-1)
+    return b_bt, C_bt, ell
+
+
+def batched_strip_smoother(
+    Fs_bt: Array,  # (d, d, B, T)
+    Qs_bt: Array,
+    b_bt: Array,  # (d, B, T)
+    C_bt: Array,  # (d, d, B, T)
+    H_b: Array,  # (B, 1, d)
+    block: int = DEFAULT_STRIP_BLOCK,
+    interpret: bool = False,
+):
+    """Batched fused smoother; returns (g (d, B, T), L (d, d, B, T),
+    mean (B, T), var (B, T)) — the last two are the fused H-projections."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = b_bt.shape[0]
+    d2 = d * d
+    B, T = b_bt.shape[-2:]
+    dtype = b_bt.dtype
+    S = N_STRIPS
+    B_pad = -(-B // S) * S
+    G = B_pad // S
+    NB = -(-T // block)
+    Tp = NB * block
+    pad_t = Tp - T
+
+    def pad(x, fill):  # batch pad + FRONT time pad (reverse scan)
+        x = _pad_batch(x, B_pad, x.ndim - 2)
+        if pad_t:
+            x = jnp.concatenate(
+                [jnp.broadcast_to(fill, x.shape[:-1] + (pad_t,)), x], axis=-1
+            )
+        return x
+
+    eye_col = jnp.eye(d, dtype=dtype).reshape(d2, 1, 1)
+    # Front padding with (F=I, Q=0, m=0, P=I) yields exact identity
+    # smoothing elements (E=I, g=0, L=0), so the suffix flows through
+    # unchanged into the (discarded) padded prefix.
+    F_p = pad(Fs_bt.reshape(d2, B, T), eye_col)
+    Q_p = pad(Qs_bt.reshape(d2, B, T), jnp.zeros((d2, 1, 1), dtype))
+    b_p = pad(b_bt, jnp.zeros((d, 1, 1), dtype))
+    c_p = pad(C_bt.reshape(d2, B, T), eye_col)
+
+    h = jnp.moveaxis(H_b.reshape(B, d).astype(dtype), 0, 1)  # (d, B)
+    h = _pad_batch(h, B_pad, 1)
+    h_v = jnp.broadcast_to(h[:, :, None], h.shape + (128,))
+
+    n = smooth_rows(d)
+    rev = lambda i: (0, i // NB, NB - 1 - i % NB)  # noqa: E731
+    mk = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, S, block), rev, memory_space=pltpu.VMEM
+    )
+    cst = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, S, 128),
+        lambda i: (0, i // NB, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    g_p, l_p, mean_p, var_p = pl.pallas_call(
+        partial(_batched_smoother_kernel, d=d, nb=NB),
+        grid=(G * NB,),
+        in_specs=[cst(d), mk(d2), mk(d2), mk(d), mk(d2)],
+        out_specs=(mk(d), mk(d2), mk(1), mk(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, B_pad, Tp), dtype),
+            jax.ShapeDtypeStruct((d2, B_pad, Tp), dtype),
+            jax.ShapeDtypeStruct((1, B_pad, Tp), dtype),
+            jax.ShapeDtypeStruct((1, B_pad, Tp), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((n + 2 * d2, S, 128), dtype)],
+        interpret=interpret,
+    )(h_v, F_p, Q_p, b_p, c_p)
+
+    g_bt = g_p[:, :B, pad_t:]
+    L_bt = l_p[:, :B, pad_t:].reshape(d, d, B, T)
+    return g_bt, L_bt, mean_p[0, :B, pad_t:], var_p[0, :B, pad_t:]
+
+
+# --------------------------------------------------------------------------
+# custom_vmap wiring: vmapping the single-series fused entry points (batched
+# GPs / MCMC chains) dispatches to the batched-sublane kernels above instead
+# of failing at Mosaic lowering (round 1 required config.set_pallas_lml(False)
+# and fell back to the XLA engine's log2(T) HBM passes).
+# --------------------------------------------------------------------------
+
+
+def _bcast(x, axis_size, batched):
+    """Bring an operand to a leading batch axis (broadcast if unbatched)."""
+    if batched:
+        return x
+    return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+
+@lru_cache(maxsize=None)
+def strip_filter_op(block: int = DEFAULT_STRIP_BLOCK, interpret: bool = False):
+    """(Fs_tl, Qs_tl, P0, H, R, ys) -> (b_tl, C_tl, ell), vmappable."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def op(Fs_tl, Qs_tl, P0, H, R, ys):
+        return strip_filter(
+            Fs_tl, Qs_tl, P0, H, R, ys, block=block, interpret=interpret
+        )
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, Fs, Qs, P0, H, R, ys):  # noqa: ANN001
+        fb, qb, pb, hb, rb, yb = in_batched
+        B = axis_size
+        Fs_bt = jnp.moveaxis(_bcast(Fs, B, fb), 0, 2)  # (d, d, B, T)
+        Qs_bt = jnp.moveaxis(_bcast(Qs, B, qb), 0, 2)
+        P0_b = _bcast(P0, B, pb)
+        H_b = _bcast(H, B, hb)
+        R_b = _bcast(R, B, rb)
+        ys_b = _bcast(ys, B, yb).reshape(B, -1)
+        b, C, ell = batched_strip_filter(
+            Fs_bt, Qs_bt, P0_b, H_b, R_b, ys_b,
+            block=block, interpret=interpret,
+        )
+        return (
+            (jnp.moveaxis(b, 1, 0), jnp.moveaxis(C, 2, 0), ell),
+            (True, True, True),
+        )
+
+    return op
+
+
+@lru_cache(maxsize=None)
+def strip_smoother_op(block: int = DEFAULT_STRIP_BLOCK, interpret: bool = False):
+    """(Fs_tl, Qs_tl, b_tl, C_tl) -> (g_tl, L_tl), vmappable."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def op(Fs_tl, Qs_tl, b_tl, C_tl):
+        return strip_smoother(
+            Fs_tl, Qs_tl, b_tl, C_tl, block=block, interpret=interpret
+        )
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, Fs, Qs, b_tl, C_tl):  # noqa: ANN001
+        fb, qb, bb, cb = in_batched
+        B = axis_size
+        Fs_bt = jnp.moveaxis(_bcast(Fs, B, fb), 0, 2)
+        Qs_bt = jnp.moveaxis(_bcast(Qs, B, qb), 0, 2)
+        b_bt = jnp.moveaxis(_bcast(b_tl, B, bb), 0, 1)  # (d, B, T)
+        C_bt = jnp.moveaxis(_bcast(C_tl, B, cb), 0, 2)
+        d = b_bt.shape[0]
+        # H only feeds the fused projection outputs, which this op discards.
+        H_b = jnp.zeros((B, 1, d), b_bt.dtype)
+        g, L, _, _ = batched_strip_smoother(
+            Fs_bt, Qs_bt, b_bt, C_bt, H_b, block=block, interpret=interpret
+        )
+        return (jnp.moveaxis(g, 1, 0), jnp.moveaxis(L, 2, 0)), (True, True)
+
+    return op
 
 
 def _strip_smoother_scan_kernel(

@@ -32,16 +32,6 @@ from parallel_gps_tpu.ops.scan import blocked_associative_scan
 from parallel_gps_tpu.types import LGSSM, LGSSMTL
 
 
-def _tl_to_time_first(lgssm_tl: LGSSMTL) -> LGSSM:
-    return LGSSM(
-        lgssm_tl.P0,
-        jnp.moveaxis(lgssm_tl.Fs, -1, 0),
-        jnp.moveaxis(lgssm_tl.Qs, -1, 0),
-        lgssm_tl.H,
-        lgssm_tl.R,
-    )
-
-
 class FilteringElement(NamedTuple):
     A: Array  # (..., d, d)
     b: Array  # (..., d)
@@ -209,27 +199,27 @@ def pkf(
     """
     del max_parallel
     if isinstance(lgssm, LGSSMTL):
-        if lgssm.P0.shape[0] <= 3:
-            from parallel_gps_tpu.kalman.timelast import pkf_from_tl
+        from parallel_gps_tpu.kalman.timelast import pkf_from_tl
 
-            out = pkf_from_tl(
-                lgssm,
-                observations,
-                return_loglikelihood,
-                pallas=(engine == "pallas"),
+        # The time-last engine covers every state dim (Schur-recursed
+        # inverses for d > 3); the fused Pallas kernels remain d <= 3.
+        out = pkf_from_tl(
+            lgssm,
+            observations,
+            return_loglikelihood,
+            pallas=(engine == "pallas" and lgssm.P0.shape[0] <= 3),
+        )
+        # Convert moments to the reference (T, d) layout; under jit the
+        # conversion is dead-code-eliminated when callers only use ell.
+        if return_loglikelihood:
+            b_tl, C_tl, ell = out
+            return (
+                jnp.moveaxis(b_tl, -1, 0),
+                jnp.moveaxis(C_tl, -1, 0),
+                ell,
             )
-            # Convert moments to the reference (T, d) layout; under jit the
-            # conversion is dead-code-eliminated when callers only use ell.
-            if return_loglikelihood:
-                b_tl, C_tl, ell = out
-                return (
-                    jnp.moveaxis(b_tl, -1, 0),
-                    jnp.moveaxis(C_tl, -1, 0),
-                    ell,
-                )
-            b_tl, C_tl = out
-            return jnp.moveaxis(b_tl, -1, 0), jnp.moveaxis(C_tl, -1, 0)
-        lgssm = _tl_to_time_first(lgssm)
+        b_tl, C_tl = out
+        return jnp.moveaxis(b_tl, -1, 0), jnp.moveaxis(C_tl, -1, 0)
     if engine == "pallas":
         from parallel_gps_tpu.kalman.timelast import pkf_pallas
 
@@ -319,17 +309,15 @@ def pks(
     ``kalman.timelast.pks_from_tl`` directly)."""
     del max_parallel
     if isinstance(lgssm, LGSSMTL):
-        if lgssm.P0.shape[0] <= 3:
-            from parallel_gps_tpu.kalman.timelast import pks_from_tl
+        from parallel_gps_tpu.kalman.timelast import pks_from_tl
 
-            g_tl, L_tl = pks_from_tl(
-                lgssm,
-                jnp.moveaxis(ms, 0, -1),
-                jnp.moveaxis(Ps, 0, -1),
-                pallas=(engine == "pallas"),
-            )
-            return jnp.moveaxis(g_tl, -1, 0), jnp.moveaxis(L_tl, -1, 0)
-        lgssm = _tl_to_time_first(lgssm)
+        g_tl, L_tl = pks_from_tl(
+            lgssm,
+            jnp.moveaxis(ms, 0, -1),
+            jnp.moveaxis(Ps, 0, -1),
+            pallas=(engine == "pallas" and lgssm.P0.shape[0] <= 3),
+        )
+        return jnp.moveaxis(g_tl, -1, 0), jnp.moveaxis(L_tl, -1, 0)
     if engine == "pallas":
         from parallel_gps_tpu.kalman.timelast import pks_pallas
 
@@ -359,9 +347,13 @@ def pkfs(
 
     On an LGSSMTL input the filtered moments stay time-last between the two
     scans and only the final smoothed moments are converted to (T, d)."""
-    if isinstance(lgssm, LGSSMTL) and lgssm.P0.shape[0] <= 3:
+    if isinstance(lgssm, LGSSMTL):
         from parallel_gps_tpu.kalman.timelast import pkfs_from_tl
 
-        return pkfs_from_tl(lgssm, observations, pallas=(engine == "pallas"))
+        return pkfs_from_tl(
+            lgssm,
+            observations,
+            pallas=(engine == "pallas" and lgssm.P0.shape[0] <= 3),
+        )
     fms, fPs = pkf(lgssm, observations, False, engine=engine)
     return pks(lgssm, fms, fPs, engine=engine)

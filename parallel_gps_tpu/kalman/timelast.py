@@ -13,13 +13,14 @@ time-LAST — A as (d, d, T), b as (d, T) — so the time axis sits on the
 elementwise multiply-add over (T,) planes:
 
   - d×d matmuls are unrolled broadcast-multiply-reduce over the tiny axes;
-  - the (I + C J)⁻¹ solves use closed-form adjugate inverses (d ≤ 3);
+  - the (I + C J)⁻¹ solves use closed-form adjugate inverses for d ≤ 3 and
+    Schur-complement block recursion onto those base cases for d > 3 (see
+    ``_inv``) — every state dimension in the framework (Matérn d ≤ 3, RBF
+    order k, Periodic 2(N+1), the CO2 composite d = 18) runs elementwise
+    on the VPU;
   - the scan is Kogge-Stone over the lane axis: log2(T) rounds of
     ``roll(+identity-mask)`` + combine, all elementwise — no strided
     dynamic slicing, no (T, d, d) relayouts.
-
-Supported for d ≤ 3 (Matérn 1/2, 3/2, 5/2 — the flagship kernels); larger
-state dims fall back to the generic engine automatically (see kalman.parallel).
 
 Everything is plain differentiable JAX; ``jax.grad`` flows through rolls and
 the adjugate formulas.
@@ -76,8 +77,37 @@ def _sym(a: Array) -> Array:
 
 
 def _inv(M: Array) -> Array:
-    """Adjugate inverse over (d, d, T), closed form for d ≤ 3."""
+    """Inverse over (d, d, T) planes, elementwise in every trailing axis.
+
+    d ≤ 3: closed-form adjugate.  d > 3: Schur-complement block recursion
+    M = [[A, B], [C, D]] ⇒ blockwise inverse via A⁻¹ and the Schur
+    complement S = D − C A⁻¹ B — every operation stays an elementwise
+    multiply-add over the trailing (time/batch) axes, which is what keeps
+    the time-last engine on the VPU for high-order kernels (RBF order k,
+    Periodic, the CO2 composite at d = 18) instead of falling back to the
+    generic engine's pathological batched tiny solves (VERDICT.md item 2).
+
+    Block stability: the engine inverts either SPD matrices (smoother
+    predicted covariances) or I + C·J with C, J PSD (filter combine) whose
+    spectrum lies right of 1; leading blocks are well-conditioned for these
+    families (pinned against the dense-GP oracle in tests up to d = 18).
+    """
     d = M.shape[0]
+    if d > 3:
+        k = (d + 1) // 2
+        A, B = M[:k, :k], M[:k, k:]
+        C, D = M[k:, :k], M[k:, k:]
+        Ainv = _inv(A)
+        CAinv = _mm(C, Ainv)  # (d-k, k, ...)
+        AinvB = _mm(Ainv, B)  # (k, d-k, ...)
+        S = D - _mm(CAinv, B)
+        Sinv = _inv(S)
+        TL = Ainv + _mm(_mm(AinvB, Sinv), CAinv)
+        TR = -_mm(AinvB, Sinv)
+        BL = -_mm(Sinv, CAinv)
+        top = jnp.concatenate([TL, TR], axis=1)
+        bot = jnp.concatenate([BL, Sinv], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
     if d == 1:
         return 1.0 / M
     if d == 2:
@@ -109,7 +139,7 @@ def _inv(M: Array) -> Array:
             ]
         )
         return adj / det
-    raise ValueError(f"time-last engine supports d <= 3, got {d}")
+    raise AssertionError("unreachable: d > 3 handled by Schur recursion")
 
 
 def _eye(d: int, T: int, dtype) -> Array:
@@ -608,16 +638,17 @@ def pkf_from_tl(
     if pallas:
         # Strip-layout fused engine: element construction + per-strip scan +
         # streaming log-likelihood, full sublane utilization
-        # (see pallas_scan.strip_filter).
+        # (see pallas_scan.strip_filter).  Routed through the custom_vmap
+        # wrapper so vmapped callers (batched GPs / MCMC chains) hit the
+        # batched-sublane kernels instead of failing at Mosaic lowering.
         from parallel_gps_tpu.kalman.pallas_scan import (
             DEFAULT_STRIP_BLOCK,
-            strip_filter,
+            strip_filter_op,
         )
 
-        b_tl, C_tl, ell = strip_filter(
-            Fs_tl, Qs_tl, P0, H, R, observations,
-            block=block or DEFAULT_STRIP_BLOCK, interpret=interpret,
-        )
+        b_tl, C_tl, ell = strip_filter_op(
+            block or DEFAULT_STRIP_BLOCK, interpret
+        )(Fs_tl, Qs_tl, P0, H, R, observations)
         if not return_loglikelihood:
             return b_tl, C_tl
         return b_tl, C_tl, ell
@@ -648,15 +679,15 @@ def pks_from_tl(
     dtype = P0.dtype
     if pallas:
         # Strip-layout fused engine: smoothing elements built in VMEM from
-        # the raw F/Q/moment planes (see pallas_scan.strip_smoother).
+        # the raw F/Q/moment planes (see pallas_scan.strip_smoother);
+        # custom_vmap-wrapped like the filter.
         from parallel_gps_tpu.kalman.pallas_scan import (
             DEFAULT_STRIP_BLOCK,
-            strip_smoother,
+            strip_smoother_op,
         )
 
-        return strip_smoother(
-            Fs_tl, Qs_tl, b_tl, C_tl,
-            block=block or DEFAULT_STRIP_BLOCK, interpret=interpret,
+        return strip_smoother_op(block or DEFAULT_STRIP_BLOCK, interpret)(
+            Fs_tl, Qs_tl, b_tl, C_tl
         )
     e = _smoothing_elements_from_planes(Fs_tl, Qs_tl, b_tl, C_tl)
     final = kogge_stone_scan_tl(

@@ -95,9 +95,13 @@ class SDEKernel:
         def trans_m1_tl(dts):
             Am1 = self.transitions_m1_tl(dts.astype(dtype))
             if Am1 is None:
-                Am1 = jnp.moveaxis(
-                    expm1_dt_batched(sde.F, dts.astype(dtype)), 0, -1
-                )
+                # Time-last Padé path: the batched (T, d, d) expm pads every
+                # tiny matrix to a register tile (28x memory at d=6 — OOMs
+                # N=1M high-order kernels); expm1_dt_tl stays on (d, d, T)
+                # lane planes end-to-end (ops/expm.py).
+                from parallel_gps_tpu.ops.expm import expm1_dt_tl
+
+                Am1 = expm1_dt_tl(sde.F, dts.astype(dtype))
             return Am1
 
         return discretize_tl(sde, ts, R, t0, transitions_m1_tl=trans_m1_tl)

@@ -88,10 +88,12 @@ class StateSpaceGP:
 
     def _make_model(self, ts: Array) -> LGSSM:
         R = jnp.reshape(self.noise_variance, (1, 1))
-        # Parallel engine with d ≤ 3: build the SSM time-last (LGSSMTL) so
-        # the whole filter/smoother pipeline runs relayout-free on TPU —
-        # pkf/pkfs dispatch on the container type (kalman/parallel.py).
-        if self.parallel and self.kernel.state_dim <= 3:
+        # Parallel engine: build the SSM time-last (LGSSMTL) so the whole
+        # filter/smoother pipeline runs relayout-free on TPU — pkf/pkfs
+        # dispatch on the container type (kalman/parallel.py).  The
+        # time-last engine covers every state dim (Schur-recursed inverses
+        # for d > 3, kalman/timelast.py::_inv).
+        if self.parallel:
             return self.kernel.get_ssm_tl(ts, R)
         return self.kernel.get_ssm(ts, R)
 
@@ -110,27 +112,19 @@ class StateSpaceGP:
         (pssgp/model.py:71-84).  Under an outer ``jit``/``grad`` the inner
         jit is free.
 
-        The fused Pallas kernels are single-series; they cannot be batched
-        (vmapping a model that traced with them fails at Mosaic lowering).
-        The engine flag is resolved here, OUTSIDE the inner jit, and passed
-        as a static argument so flipping ``config.set_pallas_lml(False)``
-        (required before vmapping over models/chains on TPU) correctly
-        retraces.  A best-effort batch-tracer check also auto-falls-back
-        when this method itself is traced under vmap."""
+        Batching: the fused kernels are wrapped in ``custom_vmap``
+        (kalman/pallas_scan.py), so vmapping this method over models/chains
+        dispatches to the batched-sublane kernels (batch on sublanes × time
+        on lanes) — ``config.set_pallas_lml(False)`` is no longer required
+        for batched MCMC (it remains as a manual escape hatch to the XLA
+        time-last engine)."""
         from parallel_gps_tpu import config
 
-        use_pallas = config.PALLAS_LML and jax.default_backend() == "tpu"
-        if use_pallas:
-            try:
-                from jax._src.interpreters import batching
-
-                if any(
-                    isinstance(leaf, batching.BatchTracer)
-                    for leaf in jax.tree.leaves(self)
-                ):
-                    use_pallas = False
-            except ImportError:  # pragma: no cover — private-API drift
-                pass
+        use_pallas = (
+            config.PALLAS_LML
+            and jax.default_backend() == "tpu"
+            and self.kernel.state_dim <= 3  # fused kernels are d <= 3
+        )
         return _lml_jit(self, use_pallas)
 
     def _lml_impl(self, use_pallas: bool) -> Array:

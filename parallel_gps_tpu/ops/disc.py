@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
-from parallel_gps_tpu.ops.expm import expm1_dt_batched, expm_pade13
+from parallel_gps_tpu.ops.expm import expm1_dt_batched, expm1_dt_tl, expm_pade13
 from parallel_gps_tpu.ops.linalg import symmetrize
 from parallel_gps_tpu.types import LGSSM, LGSSMTL, ContinuousDiscreteModel
 
@@ -83,13 +83,15 @@ def discretize_tl(
     ``transitions_m1_tl``: callable ``dts -> (d, d, T)`` supplying
     ``expm(dt_k F) − I`` time-last; kernels with closed forms build this
     directly from (T,) lane planes (free — pure broadcasts).  Falls back to
-    transposing the batched Padé path (correct but pays one relayout).
+    the time-last Padé path (``expm1_dt_tl`` — the batched (T, d, d) layout
+    pads tiny matrices to register tiles, a 28× memory expansion that OOMs
+    high-order kernels at large T).
     """
     dts = _dts(ts, t0)
     if transitions_m1_tl is not None:
         Am1 = transitions_m1_tl(dts)  # (d, d, T)
     else:
-        Am1 = jnp.moveaxis(expm1_dt_batched(sde.F, dts), 0, -1)
+        Am1 = expm1_dt_tl(sde.F, dts)
     d = sde.F.shape[0]
     T = dts.shape[0]
     P0 = symmetrize(sde.P0)

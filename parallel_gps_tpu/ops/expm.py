@@ -93,6 +93,52 @@ def expm_pade13(A: Array, max_squarings: int = MAX_SQUARINGS) -> Array:
     return expm1_pade13(A, max_squarings) + jnp.eye(d, dtype=A.dtype)
 
 
+def expm1_dt_tl(F: Array, dts: Array, max_squarings: int = MAX_SQUARINGS) -> Array:
+    """``expm(dt_k · F) − I`` on TIME-LAST (d, d, T) planes.
+
+    The batched (T, d, d) path pads every tiny matrix to the (8, 128)
+    register tile — a 28× memory expansion at d=6 that OOMs N=10⁶ RBF
+    discretization outright (64 GB of HLO temps for 2.3 GB of data).  Here
+    the time axis IS the lane axis: matmuls are broadcast-multiply-reduce
+    over (d, d, T) planes and the Padé solve uses the Schur-recursed
+    time-last inverse (kalman/timelast._inv), so peak memory is ~10 d²·T
+    planes and every op runs at full lane utilization.  Same cancellation-
+    free minus-identity algebra as :func:`expm1_pade13`.
+    """
+    from parallel_gps_tpu.kalman.timelast import _inv, _mm
+
+    dtype = F.dtype
+    d = F.shape[-1]
+    T = dts.shape[0]
+    A = F[:, :, None] * dts[None, None, :]  # (d, d, T)
+    eye_tl = jnp.broadcast_to(jnp.eye(d, dtype=dtype)[:, :, None], (d, d, T))
+
+    norm = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0)  # (T,) 1-norm
+    k = jnp.ceil(jnp.log2(jnp.maximum(norm / _THETA13, 1.0)))
+    k = jnp.clip(k, 0, max_squarings)
+    A = A * jnp.exp2(-k)[None, None, :].astype(dtype)
+
+    A2 = _mm(A, A)
+    A4 = _mm(A2, A2)
+    A6 = _mm(A2, A4)
+    b = _B13
+    W1 = b[13] * A6 + b[11] * A4 + b[9] * A2
+    W2 = b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * eye_tl
+    U = _mm(A, _mm(A6, W1) + W2)
+    Z1 = b[12] * A6 + b[10] * A4 + b[8] * A2
+    V = _mm(A6, Z1) + b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * eye_tl
+
+    # Normalize the solve by 1/b0 (~6.5e16): the Schur inverse's 3x3
+    # adjugate base case forms determinants (products of three entries), and
+    # unnormalized V-U entries of O(b0) overflow float32 (b0^3 ~ 1e50).
+    inv_b0 = 1.0 / b[0]
+    Em1 = _mm(_inv((V - U) * inv_b0), (2.0 * inv_b0) * U)
+    for j in range(max_squarings):
+        sq = _mm(Em1, Em1) + 2.0 * Em1
+        Em1 = jnp.where((j < k)[None, None, :], sq, Em1)
+    return Em1
+
+
 def expm_dt_batched(F: Array, dts: Array, max_squarings: int = MAX_SQUARINGS) -> Array:
     """``expm(dt_k · F)`` for a (T,) vector of step sizes and one (d, d) F."""
     A = dts[:, None, None] * F[None]

@@ -341,3 +341,61 @@ def sharded_pkfs_tl(
     """Sharded filter + smoother on an LGSSMTL; returns time-last (g, L)."""
     b_tl, C_tl = sharded_pkf_tl(lgssm_tl, observations, mesh, axis)
     return sharded_pks_tl(lgssm_tl, b_tl, C_tl, mesh, axis)
+
+
+def sharded_batched_lml_tl(
+    lgssm_tl_b,
+    observations_b: Array,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+    time_axis: str = "time",
+) -> Array:
+    """LMLs of a batch of independent GPs on the time-last fast path,
+    dp × sp over a 2-D mesh: batch of models over ``batch_axis``, the time
+    axis of every plane over ``time_axis``.
+
+    ``lgssm_tl_b`` leaves carry a leading batch axis — P0 (B, d, d),
+    Fs/Qs (B, d, d, T), H (B, 1, d), R (B, 1, 1) (``jax.vmap(get_ssm_tl)``
+    output); ``observations_b`` is (B, T).  Returns (B,) log-likelihoods.
+
+    This is the distributed composition of BASELINE.json config 5 on the
+    TPU-native layout: per-shard local scans at time-last speed, one tiny
+    all_gather of boundary elements over ``time_axis`` per scan, batch
+    embarrassingly parallel over ``batch_axis``.
+    """
+    from parallel_gps_tpu.kalman.timelast import (
+        _filtering_elements_from_planes,
+        _loglik_from_planes,
+        filtering_identity_tl,
+        filtering_operator_tl,
+    )
+
+    P0_b, Fs_b, Qs_b, H_b, R_b = lgssm_tl_b
+    d = P0_b.shape[-1]
+    dtype = P0_b.dtype
+    ys_b = observations_b.reshape(observations_b.shape[0], -1)
+
+    elems = jax.vmap(_filtering_elements_from_planes)(
+        P0_b, Fs_b, Qs_b, H_b, R_b, ys_b
+    )  # leaves (B, d[, d], T)
+    spec = jax.tree.map(
+        lambda x: P(batch_axis, *([None] * (x.ndim - 2)), time_axis), elems
+    )
+
+    def local(e):
+        return jax.vmap(
+            lambda ee: sharded_associative_scan_tl(
+                filtering_operator_tl,
+                ee,
+                axis_name=time_axis,
+                identity=filtering_identity_tl(d, dtype),
+                reverse=False,
+            )
+        )(e)
+
+    final = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)(
+        elems
+    )
+    return jax.vmap(_loglik_from_planes)(
+        P0_b, Fs_b, Qs_b, H_b, R_b, final.b, final.C, ys_b
+    )

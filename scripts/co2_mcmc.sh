@@ -6,7 +6,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 py=parallel_gps_tpu.experiments.co2.mcmc
 for model in gp pssgp ssgp; do
-  python -m $py --mcmc=hmc --model=$model --qp-order 3 --step-size 0.01 \
+  python -m $py --mcmc=hmc --model=$model --qp-order "${QP_ORDER:-3}" --step-size 0.01 \
     --noise-variance 0.05 --dtype "${DTYPE:-float64}" \
+    --n-training "${N_TRAINING:-3192}" \
+    --n-samples "${N_SAMPLES:-1000}" --burnin "${BURNIN:-100}" \
     --out-dir "${OUT_DIR:-results/co2_mcmc}"
 done

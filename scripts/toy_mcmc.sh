@@ -7,6 +7,8 @@ cd "$(dirname "$0")/.."
 py=parallel_gps_tpu.experiments.toy_models.mcmc
 common=(--step-size 0.01 --rbf-order 6 --rbf-balance-iter 10 --qp-order 6
         --data-model sine --noise-variance 0.1
+        --log2-sizes ${LOG2_SIZES:-7 8 10 12 14}
+        --n-samples "${N_SAMPLES:-1000}" --burnin "${BURNIN:-100}"
         --out-dir "${OUT_DIR:-results/toy_mcmc}")
 
 for mcmc in hmc mala nuts; do

@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 py=parallel_gps_tpu.experiments.toy_models.speed_and_stability
 common=(--rbf-order 6 --rbf-balance-iter 10 --qp-order 6 --data-model sine
         --noise-variance 0.1 --n-seeds "${N_SEEDS:-21}"
-        --log2-sizes 12 13 14 15 --out-dir "${OUT_DIR:-results/toy_sas}")
+        --log2-sizes ${LOG2_SIZES:-12 13 14 15} --out-dir "${OUT_DIR:-results/toy_sas}")
 
 for cov in Matern32 Matern52 RBF; do
   for model in ssgp pssgp gp; do

@@ -8,7 +8,7 @@ filtering/smoothing — sequentially (O(T) span) or via associative scan
 """
 from parallel_gps_tpu import config, kalman, kernels, models, ops
 from parallel_gps_tpu.models import GPR, StateSpaceGP
-from parallel_gps_tpu.types import LGSSM, ContinuousDiscreteModel
+from parallel_gps_tpu.types import LGSSM, LGSSMTL, ContinuousDiscreteModel
 
 __version__ = "0.1.0"
 
@@ -21,5 +21,6 @@ __all__ = [
     "GPR",
     "StateSpaceGP",
     "LGSSM",
+    "LGSSMTL",
     "ContinuousDiscreteModel",
 ]

@@ -57,3 +57,37 @@ def test_transitions_match_generic_expm(kernel):
     F = np.asarray(sde.F)
     want = np.stack([scipy.linalg.expm(float(dt) * F) for dt in np.asarray(dts)])
     npt.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("d", [2, 6, 15])
+def test_expm1_dt_tl_matches_batched(d):
+    """Time-last Padé expm (the layout that replaced the OOM-prone batched
+    (T, d, d) path for high-order kernels) — values and gradients."""
+    import jax
+
+    from parallel_gps_tpu.ops.expm import expm1_dt_batched, expm1_dt_tl
+
+    rng = np.random.RandomState(d)
+    F = jnp.asarray(rng.randn(d, d))
+    dts = jnp.asarray(np.abs(rng.rand(50)) * 3.0)
+    tl = expm1_dt_tl(F, dts)
+    batched = jnp.moveaxis(expm1_dt_batched(F, dts), 0, -1)
+    npt.assert_allclose(tl, batched, rtol=1e-9, atol=1e-12)
+    g_tl = jax.grad(lambda f: jnp.sum(expm1_dt_tl(f, dts)))(F)
+    g_b = jax.grad(lambda f: jnp.sum(expm1_dt_batched(f, dts)))(F)
+    npt.assert_allclose(g_tl, g_b, rtol=1e-7, atol=1e-10)
+
+
+def test_expm1_dt_tl_float32_no_overflow():
+    """The Padé solve is normalized by 1/b0: without it the Schur inverse's
+    3x3 adjugate determinants overflow float32 (entries ~6.5e16 cubed)."""
+    from parallel_gps_tpu.kernels import RBF
+
+    rbf = RBF(variance=1.0, lengthscales=0.5, order=6, balancing_iter=10)
+    t = np.sort(np.random.RandomState(0).rand(512)).astype(np.float32) * 4.0
+    ssm = rbf.get_ssm_tl(
+        jnp.asarray(t, jnp.float32).reshape(-1, 1),
+        jnp.asarray(0.1, jnp.float32).reshape(1, 1),
+    )
+    assert bool(jnp.isfinite(ssm.Fs).all())
+    assert bool(jnp.isfinite(ssm.Qs).all())

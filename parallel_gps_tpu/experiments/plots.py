@@ -197,7 +197,13 @@ def plot_posterior_predictive(
         np.reshape(t, -1), np.reshape(y, -1) + y_offset, s=2, marker="x",
         color=DATA_COLOR, label="observations", zorder=3,
     )
-    color = MODEL_COLORS["pssgp"] if model.parallel else MODEL_COLORS["ssgp"]
+    # GPR (dense oracle) has no `parallel` field — fall through to its color.
+    if getattr(model, "parallel", None) is True:
+        color = MODEL_COLORS["pssgp"]
+    elif getattr(model, "parallel", None) is False:
+        color = MODEL_COLORS["ssgp"]
+    else:
+        color = MODEL_COLORS["gp"]
     for k, i in enumerate(draws):
         u = jax.tree.map(lambda s: s[i], samples)
         if mask is not None:

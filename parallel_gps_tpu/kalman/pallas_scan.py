@@ -1095,6 +1095,10 @@ def batched_strip_filter(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if block > 128 and block % 128 != 0:
+        # The per-sublane log-likelihood accumulator folds lanes in 128-wide
+        # chunks; a trailing partial chunk would be silently dropped.
+        raise ValueError(f"block must be <=128 or a multiple of 128, got {block}")
     d = P0_b.shape[-1]
     d2 = d * d
     B, T = ys_b.shape

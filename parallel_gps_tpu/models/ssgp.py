@@ -165,15 +165,27 @@ class StateSpaceGP:
 
         Xnew = jnp.asarray(Xnew, self.ts.dtype).reshape(-1, 1)
         m = Xnew.shape[0]
+        if m == 0:
+            return (
+                jnp.zeros((0, 1), self.ts.dtype),
+                jnp.zeros((0, 1), self.ts.dtype),
+            )
         mb = _bucket_size(m)
         if mb != m:
             pad = jnp.broadcast_to(Xnew[-1:], (mb - m, 1))
             Xnew = jnp.concatenate([Xnew, pad], axis=0)
+        # The fused Pallas engine is forward-only (no VJP): use it only when
+        # nothing here is being traced by an outer transform (grad/vmap of
+        # predict_f falls back to the differentiable, batchable XLA engine).
         use_pallas = (
             self.parallel
             and config.PALLAS_LML
             and jax.default_backend() == "tpu"
             and self.kernel.state_dim <= 3
+            and not any(
+                isinstance(leaf, jax.core.Tracer)
+                for leaf in jax.tree.leaves((self, Xnew))
+            )
         )
         mean, var = _predict_f_jit(self, Xnew, use_pallas)
         return mean[:m], var[:m]

@@ -171,8 +171,12 @@ def scan_efficiency_report(
         filtering_operator_tl,
         kogge_stone_scan_tl,
     )
-    from parallel_gps_tpu.kernels import Matern32
+    from parallel_gps_tpu.kernels import Matern12, Matern32, Matern52
     from parallel_gps_tpu.parallel.sharded import sharded_pkf_tl
+
+    kernel_cls = {1: Matern12, 2: Matern32, 3: Matern52}.get(d)
+    if kernel_cls is None:
+        raise ValueError(f"scan_efficiency_report supports d in 1..3, got {d}")
 
     from jax.sharding import NamedSharding, PartitionSpec
 
@@ -182,7 +186,7 @@ def scan_efficiency_report(
     t = np.sort(rng.rand(T))
     ts = jnp.asarray(t, dtype).reshape(-1, 1)
     ys = jnp.asarray(np.sin(7 * t) + 0.1 * rng.randn(T), dtype).reshape(-1, 1)
-    kernel = Matern32(variance=1.0, lengthscales=0.5)
+    kernel = kernel_cls(variance=1.0, lengthscales=0.5)
     ssm = jax.jit(kernel.get_ssm_tl)(ts, jnp.asarray(0.1, dtype).reshape(1, 1))
     # Shard the SSM planes and observations over the time axis up front —
     # otherwise GSPMD receives replicated inputs and pays a full reshard

@@ -35,13 +35,16 @@ def load_pytree(path: str, like):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as data:
         leaves, treedef = jax.tree_util.tree_flatten(like)
-        saved_repr = str(data["__treedef_repr__"])
-        if saved_repr != repr(treedef):
-            raise ValueError(
-                "checkpoint structure mismatch: saved treedef\n"
-                f"  {saved_repr}\ndoes not match the provided 'like' pytree\n"
-                f"  {treedef!r}"
-            )
+        # Checkpoints written before the treedef sidecar existed have only
+        # leaf_{i} keys — fall back to the leaf-count check for those.
+        if "__treedef_repr__" in data.files:
+            saved_repr = str(data["__treedef_repr__"])
+            if saved_repr != repr(treedef):
+                raise ValueError(
+                    "checkpoint structure mismatch: saved treedef\n"
+                    f"  {saved_repr}\ndoes not match the provided 'like' pytree\n"
+                    f"  {treedef!r}"
+                )
         n_saved = sum(1 for k in data.files if k.startswith("leaf_"))
         if n_saved != len(leaves):
             raise ValueError(

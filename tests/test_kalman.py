@@ -183,3 +183,33 @@ def test_multi_chain_mcmc_recovers_gaussian():
     pooled = xs.reshape(-1, 2)
     npt.assert_allclose(pooled.mean(axis=0), [0.0, 0.0], atol=0.15)
     npt.assert_allclose(np.cov(pooled.T), np.asarray(cov), atol=0.3)
+
+
+def test_sample_chains_chunked_matches_monolithic():
+    """lax.map chunking (the >32-chain XLA-cliff workaround) must produce
+    bitwise-identical chains to the monolithic vmap: the per-chain keys are
+    identical, only the batching strategy differs."""
+    import jax
+    import jax.numpy as jnp
+
+    from parallel_gps_tpu.inference.mcmc import hmc_kernel, sample_chains
+
+    prec = jnp.linalg.inv(jnp.asarray([[1.0, 0.4], [0.4, 1.5]]))
+
+    def log_prob(tree):
+        x = tree["x"]
+        return -0.5 * x @ prec @ x
+
+    kernel = hmc_kernel(
+        lambda x: -0.5 * x @ prec @ x, step_size=0.3, num_leapfrog_steps=5
+    )
+    init = {"x": jnp.asarray(np.random.RandomState(1).randn(6, 2))}
+    rng = __import__("jax").random.PRNGKey(7)
+    mono, acc_m = sample_chains(
+        kernel, init, log_prob, rng, 40, 10, chunk_size=None
+    )
+    chunked, acc_c = sample_chains(
+        kernel, init, log_prob, rng, 40, 10, chunk_size=3
+    )
+    npt.assert_array_equal(np.asarray(mono["x"]), np.asarray(chunked["x"]))
+    npt.assert_array_equal(np.asarray(acc_m), np.asarray(acc_c))

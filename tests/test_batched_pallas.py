@@ -29,7 +29,7 @@ from parallel_gps_tpu.kalman.pallas_scan import (
 from parallel_gps_tpu.kalman.timelast import pkf_from_tl, pks_from_tl
 from parallel_gps_tpu.kernels import Matern32
 
-B, T = 5, 40  # deliberately not multiples of the 8-sublane group / block
+B, T = 12, 40  # >8 series: two sublane groups (exercises the per-group carry reset)
 BLOCK = 16
 
 

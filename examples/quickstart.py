@@ -26,6 +26,10 @@ def main():
 
     import jax
 
+    # float64 belongs on CPU (the TPU has no f64 fast path and the tunneled
+    # compile of f64 programs is glacial); the float32 TPU path is the
+    # mcmc_and_scale example's subject.
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
     import parallel_gps_tpu as pgt

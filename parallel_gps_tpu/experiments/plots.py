@@ -87,7 +87,13 @@ def ridgeline(ax, rows, labels, color, overlap=0.4, n_points=150):
 
 def plot_speed_stability(npz_path: str, out_png: str | None = None) -> str:
     """Ridgeline RMSE + wall-time figure from a speed_and_stability result
-    file (keys: sizes, rmses, times; rows = sizes, cols = seeds)."""
+    file.
+
+    Diagonal sweeps store (sizes, seeds) matrices → one RMSE + one latency
+    panel.  --full-mesh sweeps store (train, pred, seeds) → the reference's
+    2×3 slice grid (toy_models/speed_and_stability.py:96-110): RMSE
+    distributions at three fixed train sizes (top, over pred sizes) and at
+    three fixed pred sizes (bottom, over train sizes)."""
     plt = _plt()
     with np.load(npz_path) as data:
         sizes, rmses, times = data["sizes"], data["rmses"], data["times"]
@@ -96,15 +102,32 @@ def plot_speed_stability(npz_path: str, out_png: str | None = None) -> str:
     color = MODEL_COLORS.get(model, DATA_COLOR)
     labels = [f"n={int(n):,}" for n in sizes]
 
-    fig, axes = plt.subplots(ncols=2, figsize=(9, 1.2 + 0.7 * len(sizes)))
-    ridgeline(axes[0], list(rmses), labels, color)
-    axes[0].set_xlabel("RMSE")
-    axes[0].set_title("prediction error over seeds")
-    ridgeline(axes[1], list(times), labels, color)
-    axes[1].set_xlabel("wall time per predict [s]")
-    axes[1].set_title("latency over seeds")
-    for ax in axes:
-        _style(ax)
+    if rmses.ndim == 3:  # full (train × pred × seeds) mesh
+        S = rmses.shape[0]
+        picks = sorted({(k + 1) * S // 3 - 1 for k in range(3)})
+        fig, axes = plt.subplots(
+            ncols=len(picks), nrows=2, figsize=(4 * len(picks), 2.0 + 0.7 * S)
+        )
+        axes = np.atleast_2d(axes)
+        for col, k in enumerate(picks):
+            ridgeline(axes[0, col], list(rmses[k]), labels, color)
+            axes[0, col].set_title(f"train n={int(sizes[k]):,}", fontsize=9)
+            axes[0, col].set_xlabel("RMSE (rows: n_pred)")
+            ridgeline(axes[1, col], list(rmses[:, k]), labels, color)
+            axes[1, col].set_title(f"pred m={int(sizes[k]):,}", fontsize=9)
+            axes[1, col].set_xlabel("RMSE (rows: n_train)")
+        for ax in axes.flat:
+            _style(ax)
+    else:
+        fig, axes = plt.subplots(ncols=2, figsize=(9, 1.2 + 0.7 * len(sizes)))
+        ridgeline(axes[0], list(rmses), labels, color)
+        axes[0].set_xlabel("RMSE")
+        axes[0].set_title("prediction error over seeds")
+        ridgeline(axes[1], list(times), labels, color)
+        axes[1].set_xlabel("wall time per predict [s]")
+        axes[1].set_title("latency over seeds")
+        for ax in axes:
+            _style(ax)
     fig.suptitle(name, fontsize=10)
     fig.tight_layout()
     out_png = out_png or npz_path.replace(".npz", ".png")

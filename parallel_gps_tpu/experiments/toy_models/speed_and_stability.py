@@ -38,10 +38,26 @@ def run(args) -> dict:
 
     C.set_dtype(args.dtype, args.platform)
     sizes = [2**p for p in args.log2_sizes]
-    rmses = np.full((len(sizes), args.n_seeds), np.nan)
-    times = np.full((len(sizes), args.n_seeds), np.nan)
+    # --full-mesh sweeps the reference's (n_train × n_pred) product grid
+    # (pssgp/experiments/toy_models/speed_and_stability.py:71-95); the
+    # default sweeps the n_train = n_pred diagonal (the committed protocol).
+    full_mesh = getattr(args, "full_mesh", False)
+    shape = (
+        (len(sizes), len(sizes), args.n_seeds)
+        if full_mesh
+        else (len(sizes), args.n_seeds)
+    )
+    rmses = np.full(shape, np.nan)
+    times = np.full(shape, np.nan)
 
-    for i, n in enumerate(sizes):
+    cells = (
+        [(i, j) for i in range(len(sizes)) for j in range(len(sizes))]
+        if full_mesh
+        else [(i, i) for i in range(len(sizes))]
+    )
+    for i, j in cells:
+        n_train, n_pred = sizes[i], sizes[j]
+        idx = (i, j) if full_mesh else (i,)
         cov = C.get_covariance_function(
             args.cov,
             variance=1.0,
@@ -50,10 +66,12 @@ def run(args) -> dict:
             rbf_balance_iter=args.rbf_balance_iter,
             qp_order=args.qp_order,
         )
-        for seed in C.progress(range(args.n_seeds), desc=f"n={n}"):
+        for seed in C.progress(
+            range(args.n_seeds), desc=f"n={n_train}/m={n_pred}"
+        ):
             try:
                 t, ft, t_pred, ft_pred, y = get_data(
-                    seed, n, n, args.data_model, args.noise_variance
+                    seed, n_train, n_pred, args.data_model, args.noise_variance
                 )
                 model = C.get_model(
                     args.model, (t, y), cov, args.noise_variance
@@ -62,13 +80,14 @@ def run(args) -> dict:
                 mean, var = model.predict_f(t_pred)
                 jax.block_until_ready((mean, var))
                 toc = time.time()
-                rmses[i, seed] = rmse(mean, ft_pred)
-                times[i, seed] = toc - tic
+                rmses[idx + (seed,)] = rmse(mean, ft_pred)
+                times[idx + (seed,)] = toc - tic
             except Exception as err:  # noqa: BLE001 — NaN-on-failure sweep
-                print(f"n={n} seed={seed} failed: {err!r}")
+                print(f"n={n_train} m={n_pred} seed={seed} failed: {err!r}")
             print(
-                f"n={n} seed={seed}: rmse={rmses[i, seed]:.4f} "
-                f"time={times[i, seed]:.3f}s"
+                f"n={n_train} m={n_pred} seed={seed}: "
+                f"rmse={rmses[idx + (seed,)]:.4f} "
+                f"time={times[idx + (seed,)]:.3f}s"
             )
 
     path = C.save_results(
@@ -88,6 +107,12 @@ def main():
     p.add_argument("--n-seeds", type=int, default=21)
     p.add_argument("--plot", action="store_true", help="regenerate the ridgeline figure")
     p.add_argument("--no-run", action="store_true", help="skip the sweep (reload saved results)")
+    p.add_argument(
+        "--full-mesh",
+        action="store_true",
+        help="sweep the full (n_train x n_pred) product grid like the "
+        "reference instead of the n_train = n_pred diagonal",
+    )
     run(p.parse_args())
 
 

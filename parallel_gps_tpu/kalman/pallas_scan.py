@@ -247,6 +247,85 @@ def _smooth_combine(X1, X2, d):
     return jnp.concatenate(rows, axis=0)
 
 
+def _build_filtering_rows(F, Q, y, mask, h, r, P0v, is_first, d):
+    """Filtering-element rows [A | b | C | J | eta] from transition/noise
+    row-lists plus observation tiles — the in-kernel counterpart of
+    make_filtering_elements (reference pssgp/kalman/parallel.py:13-97),
+    shared by the strip and batched filter kernels.
+
+    ``h``/``r`` entries and the ``P0v`` rows may be Python scalars (strip
+    engine: SMEM scalars) or per-sublane tiles (batched engine); the
+    algebra broadcasts either.  ``is_first`` marks each series' t=0
+    position, where the element updates against (m0=0, P0) — at those
+    positions the ``y``/``mask`` tiles hold the series' first observation.
+    """
+    HQ = [sum(h[k] * Q[k][j] for k in range(d)) for j in range(d)]
+    Sv = sum(h[j] * HQ[j] for j in range(d)) + r
+    Sinv = 1.0 / Sv
+    K = [HQ[j] * Sinv for j in range(d)]
+    HF = [sum(h[k] * F[k][j] for k in range(d)) for j in range(d)]
+
+    A = [[F[a][c] - mask * (K[a] * HF[c]) for c in range(d)] for a in range(d)]
+    b = [mask * (K[a] * y) for a in range(d)]
+    C = [[Q[a][c] - mask * (K[a] * HQ[c]) for c in range(d)] for a in range(d)]
+    eta = [mask * (HF[a] * Sinv * y) for a in range(d)]
+    J = [[mask * (HF[a] * HF[c] * Sinv) for c in range(d)] for a in range(d)]
+
+    P0h = [sum(P0v[a][k] * h[k] for k in range(d)) for a in range(d)]
+    S1 = sum(h[k] * P0h[k] for k in range(d)) + r
+    K1 = [P0h[a] / S1 for a in range(d)]
+    for a in range(d):
+        b[a] = jnp.where(is_first, mask * (K1[a] * y), b[a])
+        for c in range(d):
+            A[a][c] = jnp.where(is_first, jnp.zeros_like(A[a][c]), A[a][c])
+            C[a][c] = jnp.where(
+                is_first, P0v[a][c] - mask * (K1[a] * P0h[c]), C[a][c]
+            )
+    return (
+        [A[a][c] for a in range(d) for c in range(d)]
+        + b
+        + [C[a][c] for a in range(d) for c in range(d)]
+        + [J[a][c] for a in range(d) for c in range(d)]
+        + eta
+    )
+
+
+def _build_smoothing_rows(Fn, Qn, m, P, is_global_last, d):
+    """Smoothing-element rows [E | g | L] from next-step transition/noise
+    row-lists and filtered moments — the in-kernel counterpart of
+    make_smoothing_elements (reference pssgp/kalman/parallel.py:155-173),
+    shared by the strip and batched smoother kernels.  ``is_global_last``
+    marks each series' final position: (E=0, g=m_T, L=P_T)."""
+    FP = _mm(Fn, P, d)
+    Pp = _sym(_madd(_mm(FP, _mt(Fn, d), d), Qn, d), d)
+    E = _mt(_mm(_inv(Pp, d), FP, d), d)
+    g = _vsub(m, _mv(_mm(E, Fn, d), m, d), d)
+    Lm = _sym(
+        [
+            [
+                P[a][c]
+                - sum(
+                    E[a][k1] * sum(Pp[k1][k2] * E[c][k2] for k2 in range(d))
+                    for k1 in range(d)
+                )
+                for c in range(d)
+            ]
+            for a in range(d)
+        ],
+        d,
+    )
+    for a in range(d):
+        g[a] = jnp.where(is_global_last, m[a], g[a])
+        for c in range(d):
+            E[a][c] = jnp.where(is_global_last, jnp.zeros_like(E[a][c]), E[a][c])
+            Lm[a][c] = jnp.where(is_global_last, P[a][c], Lm[a][c])
+    return (
+        [E[a][c] for a in range(d) for c in range(d)]
+        + g
+        + [Lm[a][c] for a in range(d) for c in range(d)]
+    )
+
+
 # --------------------------------------------------------------------------
 # Kernels
 # --------------------------------------------------------------------------
@@ -504,50 +583,18 @@ def _strip_filter_scan_kernel(
     Q = [[q_ref[a * d + c] for c in range(d)] for a in range(d)]
     y = y_ref[0]  # (S, Lb)
     mask = mask_ref[0]
-
     h = [scal_ref[d2 + k] for k in range(d)]
     r = scal_ref[d2 + d]
-    m0ok = scal_ref[d2 + d + 1]
-    y0 = scal_ref[d2 + d + 2]
+    P0v = [[scal_ref[a * d + c] for c in range(d)] for a in range(d)]
 
-    HQ = [sum(h[k] * Q[k][j] for k in range(d)) for j in range(d)]
-    Sv = sum(h[j] * HQ[j] for j in range(d)) + r
-    Sinv = 1.0 / Sv
-    K = [HQ[j] * Sinv for j in range(d)]
-    HF = [sum(h[k] * F[k][j] for k in range(d)) for j in range(d)]
-
-    A = [[F[a][c] - mask * (K[a] * HF[c]) for c in range(d)] for a in range(d)]
-    b = [mask * (K[a] * y) for a in range(d)]
-    C = [[Q[a][c] - mask * (K[a] * HQ[c]) for c in range(d)] for a in range(d)]
-    eta = [mask * (HF[a] * Sinv * y) for a in range(d)]
-    J = [[mask * (HF[a] * HF[c] * Sinv) for c in range(d)] for a in range(d)]
-
-    # First element (global t=0 = strip 0, lane 0, block 0): update against
-    # (m0=0, P0); generic eta/J forms already coincide there.
+    # First element (global t=0 = strip 0, lane 0, block 0), where the
+    # y/mask tiles hold the series' first observation.
     sub = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
     is_first = jnp.logical_and(
         jnp.logical_and(sub == 0, lane == 0), jnp.full((S, Lb), i == 0)
     )
-    P0v = [[scal_ref[a * d + c] for c in range(d)] for a in range(d)]
-    P0h = [sum(P0v[a][k] * h[k] for k in range(d)) for a in range(d)]
-    S1 = sum(h[k] * P0h[k] for k in range(d)) + r
-    K1 = [P0h[a] / S1 for a in range(d)]
-    for a in range(d):
-        b[a] = jnp.where(is_first, m0ok * (K1[a] * y0), b[a])
-        for c in range(d):
-            A[a][c] = jnp.where(is_first, jnp.zeros_like(A[a][c]), A[a][c])
-            C[a][c] = jnp.where(
-                is_first, P0v[a][c] - m0ok * (K1[a] * P0h[c]), C[a][c]
-            )
-
-    rows = (
-        [A[a][c] for a in range(d) for c in range(d)]
-        + b
-        + [C[a][c] for a in range(d) for c in range(d)]
-        + [J[a][c] for a in range(d) for c in range(d)]
-        + eta
-    )
+    rows = _build_filtering_rows(F, Q, y, mask, h, r, P0v, is_first, d)
     rows = _strip_ks_rounds(rows, _filt_combine_rows, d, ident_rows, False)
     prefix = [
         jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb)) for k in range(n)
@@ -739,13 +786,7 @@ def strip_filter(
     m_st = pad_end(maskf[None], jnp.zeros((1, 1), dtype)).reshape(1, S, W)
 
     scal = jnp.concatenate(
-        [
-            P0.reshape(d2),
-            H[0].astype(dtype),
-            R.reshape(1).astype(dtype),
-            maskf[0:1],
-            y[0:1],
-        ]
+        [P0.reshape(d2), H[0].astype(dtype), R.reshape(1).astype(dtype)]
     )
 
     mk = lambda nrows, im: pl.BlockSpec(  # noqa: E731
@@ -867,41 +908,11 @@ def _batched_filter_kernel(
     h = [col(d2 + k) for k in range(d)]
     r = col(d2 + d)
 
-    HQ = [sum(h[k] * Q[k][j] for k in range(d)) for j in range(d)]
-    Sv = sum(h[j] * HQ[j] for j in range(d)) + r
-    Sinv = 1.0 / Sv
-    K = [HQ[j] * Sinv for j in range(d)]
-    HF = [sum(h[k] * F[k][j] for k in range(d)) for j in range(d)]
-
-    A = [[F[a][c] - mask * (K[a] * HF[c]) for c in range(d)] for a in range(d)]
-    b = [mask * (K[a] * y) for a in range(d)]
-    C = [[Q[a][c] - mask * (K[a] * HQ[c]) for c in range(d)] for a in range(d)]
-    eta = [mask * (HF[a] * Sinv * y) for a in range(d)]
-    J = [[mask * (HF[a] * HF[c] * Sinv) for c in range(d)] for a in range(d)]
-
-    # Every series' first element (lane 0 of time-block 0, ALL sublanes):
-    # update against (m0=0, P0); at those positions y equals the series' y0.
+    # Every series' first element: lane 0 of time-block 0, ALL sublanes.
     lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
     lane0 = lane == 0
     is_first = jnp.logical_and(lane0, jnp.full((S, Lb), i_b == 0))
-    P0h = [sum(P0v[a][k] * h[k] for k in range(d)) for a in range(d)]
-    S1 = sum(h[k] * P0h[k] for k in range(d)) + r
-    K1 = [P0h[a] / S1 for a in range(d)]
-    for a in range(d):
-        b[a] = jnp.where(is_first, mask * (K1[a] * y), b[a])
-        for c in range(d):
-            A[a][c] = jnp.where(is_first, jnp.zeros_like(A[a][c]), A[a][c])
-            C[a][c] = jnp.where(
-                is_first, P0v[a][c] - mask * (K1[a] * P0h[c]), C[a][c]
-            )
-
-    rows = (
-        [A[a][c] for a in range(d) for c in range(d)]
-        + b
-        + [C[a][c] for a in range(d) for c in range(d)]
-        + [J[a][c] for a in range(d) for c in range(d)]
-        + eta
-    )
+    rows = _build_filtering_rows(F, Q, y, mask, h, r, P0v, is_first, d)
     rows = _strip_ks_rounds(rows, _filt_combine_rows, d, ident_rows, False)
     prefix = [
         jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb)) for k in range(n)
@@ -970,13 +981,16 @@ def _batched_filter_kernel(
 
 
 def _batched_smoother_kernel(
-    h_ref, f_ref, q_ref, b_ref, c_ref, g_out, l_out, mean_out, var_out,
-    carry_ref, *, d, nb
+    h_ref, f_ref, q_ref, b_ref, c_ref, *refs, d, nb, project
 ):
     """Single-pass batched smoother (reverse over time blocks): 8 series on
     sublanes; the carry holds the suffix element plus the next block's
-    boundary F/Q columns; fused H-projection (mean/var planes) on the side.
-    1-D flattened grid (see the filter kernel)."""
+    boundary F/Q columns; optional fused H-projection (mean/var planes,
+    ``project``) on the side.  1-D flattened grid (see the filter kernel)."""
+    if project:
+        g_out, l_out, mean_out, var_out, carry_ref = refs
+    else:
+        g_out, l_out, carry_ref = refs
     import jax.experimental.pallas as pl
 
     i_b = pl.program_id(0) % nb
@@ -1010,41 +1024,12 @@ def _batched_smoother_kernel(
     m = [b_ref[a] for a in range(d)]
     P = [[c_ref[a * d + c] for c in range(d)] for a in range(d)]
 
-    FP = _mm(Fn, P, d)
-    Pp = _sym(_madd(_mm(FP, _mt(Fn, d), d), Qn, d), d)
-    E = _mt(_mm(_inv(Pp, d), FP, d), d)
-    g = _vsub(m, _mv(_mm(E, Fn, d), m, d), d)
-    Lm = _sym(
-        [
-            [
-                P[a][c]
-                - sum(
-                    E[a][k1] * sum(Pp[k1][k2] * E[c][k2] for k2 in range(d))
-                    for k1 in range(d)
-                )
-                for c in range(d)
-            ]
-            for a in range(d)
-        ],
-        d,
-    )
-
-    # Every series' LAST element (last lane of the last time block, which is
-    # grid step 0 of the reverse walk): (E=0, g=m_T, L=P_T).
+    # Every series' LAST element: last lane of the last time block, which is
+    # grid step 0 of the reverse walk.
     is_global_last = jnp.logical_and(
         is_last_lane, jnp.full((S, Lb), i_b == 0)
     )
-    for a in range(d):
-        g[a] = jnp.where(is_global_last, m[a], g[a])
-        for c in range(d):
-            E[a][c] = jnp.where(is_global_last, jnp.zeros_like(E[a][c]), E[a][c])
-            Lm[a][c] = jnp.where(is_global_last, P[a][c], Lm[a][c])
-
-    rows = (
-        [E[a][c] for a in range(d) for c in range(d)]
-        + g
-        + [Lm[a][c] for a in range(d) for c in range(d)]
-    )
+    rows = _build_smoothing_rows(Fn, Qn, m, P, is_global_last, d)
     rows = _strip_ks_rounds(rows, _smooth_combine_rows, d, ident_rows, True)
     suffix = [
         jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb)) for k in range(n)
@@ -1055,12 +1040,13 @@ def _batched_smoother_kernel(
     g_out[:] = jnp.stack(g_rows, axis=0)
     l_out[:] = jnp.stack(l_rows, axis=0)
 
-    # Fused H-projection: posterior mean/variance of f, straight to planes.
-    h = [jnp.broadcast_to(h_ref[k, :, 0:1], (S, Lb)) for k in range(d)]
-    mean_out[0] = sum(h[a] * g_rows[a] for a in range(d))
-    var_out[0] = sum(
-        h[a] * h[c] * l_rows[a * d + c] for a in range(d) for c in range(d)
-    )
+    if project:
+        # Fused H-projection: posterior mean/variance of f, straight to planes.
+        h = [jnp.broadcast_to(h_ref[k, :, 0:1], (S, Lb)) for k in range(d)]
+        mean_out[0] = sum(h[a] * g_rows[a] for a in range(d))
+        var_out[0] = sum(
+            h[a] * h[c] * l_rows[a * d + c] for a in range(d) for c in range(d)
+        )
 
     carry_ref[0:n] = jnp.broadcast_to(
         jnp.stack(out_rows, axis=0)[:, :, 0:1], (n,) + carry_ref.shape[1:]
@@ -1183,9 +1169,12 @@ def batched_strip_smoother(
     H_b: Array,  # (B, 1, d)
     block: int = DEFAULT_STRIP_BLOCK,
     interpret: bool = False,
+    project: bool = True,
 ):
     """Batched fused smoother; returns (g (d, B, T), L (d, d, B, T),
-    mean (B, T), var (B, T)) — the last two are the fused H-projections."""
+    mean (B, T), var (B, T)) — the last two are the fused H-projections,
+    or (g, L) alone with ``project=False`` (callers that only need the
+    state moments skip two (B, T) output planes)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1232,23 +1221,34 @@ def batched_strip_smoother(
         memory_space=pltpu.VMEM,
     )
 
-    g_p, l_p, mean_p, var_p = pl.pallas_call(
-        partial(_batched_smoother_kernel, d=d, nb=NB),
+    out_specs = (mk(d), mk(d2)) + ((mk(1), mk(1)) if project else ())
+    out_shape = (
+        jax.ShapeDtypeStruct((d, B_pad, Tp), dtype),
+        jax.ShapeDtypeStruct((d2, B_pad, Tp), dtype),
+    ) + (
+        (
+            jax.ShapeDtypeStruct((1, B_pad, Tp), dtype),
+            jax.ShapeDtypeStruct((1, B_pad, Tp), dtype),
+        )
+        if project
+        else ()
+    )
+    outs = pl.pallas_call(
+        partial(_batched_smoother_kernel, d=d, nb=NB, project=project),
         grid=(G * NB,),
         in_specs=[cst(d), mk(d2), mk(d2), mk(d), mk(d2)],
-        out_specs=(mk(d), mk(d2), mk(1), mk(1)),
-        out_shape=(
-            jax.ShapeDtypeStruct((d, B_pad, Tp), dtype),
-            jax.ShapeDtypeStruct((d2, B_pad, Tp), dtype),
-            jax.ShapeDtypeStruct((1, B_pad, Tp), dtype),
-            jax.ShapeDtypeStruct((1, B_pad, Tp), dtype),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((n + 2 * d2, S, 128), dtype)],
         interpret=interpret,
     )(h_v, F_p, Q_p, b_p, c_p)
 
+    g_p, l_p = outs[0], outs[1]
     g_bt = g_p[:, :B, pad_t:]
     L_bt = l_p[:, :B, pad_t:].reshape(d, d, B, T)
+    if not project:
+        return g_bt, L_bt
+    mean_p, var_p = outs[2], outs[3]
     return g_bt, L_bt, mean_p[0, :B, pad_t:], var_p[0, :B, pad_t:]
 
 
@@ -1320,10 +1320,11 @@ def strip_smoother_op(block: int = DEFAULT_STRIP_BLOCK, interpret: bool = False)
         b_bt = jnp.moveaxis(_bcast(b_tl, B, bb), 0, 1)  # (d, B, T)
         C_bt = jnp.moveaxis(_bcast(C_tl, B, cb), 0, 2)
         d = b_bt.shape[0]
-        # H only feeds the fused projection outputs, which this op discards.
+        # H only feeds the projection outputs, skipped here (project=False).
         H_b = jnp.zeros((B, 1, d), b_bt.dtype)
-        g, L, _, _ = batched_strip_smoother(
-            Fs_bt, Qs_bt, b_bt, C_bt, H_b, block=block, interpret=interpret
+        g, L = batched_strip_smoother(
+            Fs_bt, Qs_bt, b_bt, C_bt, H_b,
+            block=block, interpret=interpret, project=False,
         )
         return (jnp.moveaxis(g, 1, 0), jnp.moveaxis(L, 2, 0)), (True, True)
 
@@ -1373,39 +1374,10 @@ def _strip_smoother_scan_kernel(
     m = [b_ref[a] for a in range(d)]
     P = [[c_ref[a * d + c] for c in range(d)] for a in range(d)]
 
-    FP = _mm(Fn, P, d)
-    Pp = _sym(_madd(_mm(FP, _mt(Fn, d), d), Qn, d), d)
-    E = _mt(_mm(_inv(Pp, d), FP, d), d)
-    g = _vsub(m, _mv(_mm(E, Fn, d), m, d), d)
-    Lm = _sym(
-        [
-            [
-                P[a][c]
-                - sum(
-                    E[a][k1] * sum(Pp[k1][k2] * E[c][k2] for k2 in range(d))
-                    for k1 in range(d)
-                )
-                for c in range(d)
-            ]
-            for a in range(d)
-        ],
-        d,
-    )
-
     is_global_last = jnp.logical_and(
         jnp.logical_and(sub == S - 1, is_last_lane), jnp.full((S, Lb), i == 0)
     )
-    for a in range(d):
-        g[a] = jnp.where(is_global_last, m[a], g[a])
-        for c in range(d):
-            E[a][c] = jnp.where(is_global_last, jnp.zeros_like(E[a][c]), E[a][c])
-            Lm[a][c] = jnp.where(is_global_last, P[a][c], Lm[a][c])
-
-    rows = (
-        [E[a][c] for a in range(d) for c in range(d)]
-        + g
-        + [Lm[a][c] for a in range(d) for c in range(d)]
-    )
+    rows = _build_smoothing_rows(Fn, Qn, m, P, is_global_last, d)
     rows = _strip_ks_rounds(rows, _smooth_combine_rows, d, ident_rows, True)
     prefix = [
         jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb)) for k in range(n)

@@ -86,6 +86,19 @@ class StateSpaceGP:
             parallel=parallel,
         )
 
+    def _fused_engine_ok(self) -> bool:
+        """Whether the fused Pallas kernels apply: parallel engine, TPU
+        backend, d <= 3 (the kernels' ceiling), and not disabled via
+        ``config.set_pallas_lml(False)``."""
+        from parallel_gps_tpu import config
+
+        return (
+            self.parallel
+            and config.PALLAS_LML
+            and jax.default_backend() == "tpu"
+            and self.kernel.state_dim <= 3
+        )
+
     def _make_model(self, ts: Array) -> LGSSM:
         R = jnp.reshape(self.noise_variance, (1, 1))
         # Parallel engine: build the SSM time-last (LGSSMTL) so the whole
@@ -118,14 +131,7 @@ class StateSpaceGP:
         on lanes) — ``config.set_pallas_lml(False)`` is no longer required
         for batched MCMC (it remains as a manual escape hatch to the XLA
         time-last engine)."""
-        from parallel_gps_tpu import config
-
-        use_pallas = (
-            config.PALLAS_LML
-            and jax.default_backend() == "tpu"
-            and self.kernel.state_dim <= 3  # fused kernels are d <= 3
-        )
-        return _lml_jit(self, use_pallas)
+        return _lml_jit(self, self._fused_engine_ok())
 
     def _lml_impl(self, use_pallas: bool) -> Array:
         ssm = self._make_model(self.ts)
@@ -161,8 +167,6 @@ class StateSpaceGP:
         last query time with a NaN observation, which leaves the posterior at
         every real point untouched (dt=0 ⇒ F=I, Q=0, no update)."""
         del full_cov
-        from parallel_gps_tpu import config
-
         Xnew = jnp.asarray(Xnew, self.ts.dtype).reshape(-1, 1)
         m = Xnew.shape[0]
         if m == 0:
@@ -177,15 +181,9 @@ class StateSpaceGP:
         # The fused Pallas engine is forward-only (no VJP): use it only when
         # nothing here is being traced by an outer transform (grad/vmap of
         # predict_f falls back to the differentiable, batchable XLA engine).
-        use_pallas = (
-            self.parallel
-            and config.PALLAS_LML
-            and jax.default_backend() == "tpu"
-            and self.kernel.state_dim <= 3
-            and not any(
-                isinstance(leaf, jax.core.Tracer)
-                for leaf in jax.tree.leaves((self, Xnew))
-            )
+        use_pallas = self._fused_engine_ok() and not any(
+            isinstance(leaf, jax.core.Tracer)
+            for leaf in jax.tree.leaves((self, Xnew))
         )
         mean, var = _predict_f_jit(self, Xnew, use_pallas)
         return mean[:m], var[:m]

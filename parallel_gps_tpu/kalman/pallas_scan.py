@@ -105,7 +105,44 @@ def _plus_eye(a, d):
     ]
 
 
+def _mm_rect(a, b):
+    """General (p×q)·(q×r) product on row lists (rectangular blocks for the
+    Schur recursion below)."""
+    p, q, r = len(a), len(b), len(b[0])
+    return [
+        [sum(a[i][k] * b[k][j] for k in range(q)) for j in range(r)]
+        for i in range(p)
+    ]
+
+
 def _inv(M, d):
+    if d > 3:
+        # Schur-complement block recursion onto the closed-form base cases —
+        # the list-of-rows counterpart of kalman/timelast.py::_inv, enabling
+        # the fused strip/batched kernels for d > 3 (RBF order k ≤ 8 etc.).
+        k = (d + 1) // 2
+        A = [row[:k] for row in M[:k]]
+        B = [row[k:] for row in M[:k]]
+        C = [row[:k] for row in M[k:]]
+        D = [row[k:] for row in M[k:]]
+        Ainv = _inv(A, k)
+        CAinv = _mm_rect(C, Ainv)
+        AinvB = _mm_rect(Ainv, B)
+        S = [
+            [D[i][j] - sum(CAinv[i][t] * B[t][j] for t in range(k))
+             for j in range(d - k)]
+            for i in range(d - k)
+        ]
+        Sinv = _inv(S, d - k)
+        TL_blk = _mm_rect(_mm_rect(AinvB, Sinv), CAinv)
+        TL = [
+            [Ainv[i][j] + TL_blk[i][j] for j in range(k)] for i in range(k)
+        ]
+        TR = [[-v for v in row] for row in _mm_rect(AinvB, Sinv)]
+        BL = [[-v for v in row] for row in _mm_rect(Sinv, CAinv)]
+        return [TL[i] + TR[i] for i in range(k)] + [
+            BL[i] + Sinv[i] for i in range(d - k)
+        ]
     if d == 1:
         return [[1.0 / M[0][0]]]
     if d == 2:
@@ -134,7 +171,7 @@ def _inv(M, d):
             [A10 * inv, A11 * inv, A12 * inv],
             [A20 * inv, A21 * inv, A22 * inv],
         ]
-    raise ValueError(f"pallas scan supports d <= 3, got {d}")
+    raise AssertionError("unreachable: d > 3 handled by Schur recursion")
 
 
 def _filt_unpack(X, d):

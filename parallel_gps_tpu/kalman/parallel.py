@@ -202,12 +202,15 @@ def pkf(
         from parallel_gps_tpu.kalman.timelast import pkf_from_tl
 
         # The time-last engine covers every state dim (Schur-recursed
-        # inverses for d > 3); the fused Pallas kernels remain d <= 3.
+        # inverses for d > 3); the fused Pallas kernels cover d <= 8
+        # (explicit engine="pallas" only — VMEM and compile time grow with
+        # d^2, and f32 roundoff at d > 3 differs from the XLA engine at the
+        # few-significant-digit level typical of the conditioning).
         out = pkf_from_tl(
             lgssm,
             observations,
             return_loglikelihood,
-            pallas=(engine == "pallas" and lgssm.P0.shape[0] <= 3),
+            pallas=(engine == "pallas" and lgssm.P0.shape[0] <= 8),
         )
         # Convert moments to the reference (T, d) layout; under jit the
         # conversion is dead-code-eliminated when callers only use ell.
@@ -315,7 +318,7 @@ def pks(
             lgssm,
             jnp.moveaxis(ms, 0, -1),
             jnp.moveaxis(Ps, 0, -1),
-            pallas=(engine == "pallas" and lgssm.P0.shape[0] <= 3),
+            pallas=(engine == "pallas" and lgssm.P0.shape[0] <= 8),
         )
         return jnp.moveaxis(g_tl, -1, 0), jnp.moveaxis(L_tl, -1, 0)
     if engine == "pallas":
@@ -353,7 +356,7 @@ def pkfs(
         return pkfs_from_tl(
             lgssm,
             observations,
-            pallas=(engine == "pallas" and lgssm.P0.shape[0] <= 3),
+            pallas=(engine == "pallas" and lgssm.P0.shape[0] <= 8),
         )
     fms, fPs = pkf(lgssm, observations, False, engine=engine)
     return pks(lgssm, fms, fPs, engine=engine)

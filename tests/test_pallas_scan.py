@@ -105,3 +105,25 @@ def test_strip_smoother_matches_tl():
     g_s, L_s = strip_smoother(ssm.Fs, ssm.Qs, b_x, C_x, block=32, interpret=True)
     npt.assert_allclose(g_s, g_x, rtol=1e-8, atol=1e-9)
     npt.assert_allclose(L_s, L_x, rtol=1e-8, atol=1e-9)
+
+
+def test_list_schur_inverse_matches_numpy():
+    """The row-list Schur-complement inverse (pallas_scan._inv for d > 3,
+    used by the fused kernels for high-order kernels) against numpy, f64.
+    The kernel plumbing around it is d-generic and pinned at d <= 3; the
+    inverse is the only d > 3-specific algebra."""
+    import numpy.linalg as la
+
+    from parallel_gps_tpu.kalman.pallas_scan import _inv as list_inv
+
+    rng = np.random.RandomState(0)
+    for d in (4, 5, 6, 8):
+        # Well-conditioned test matrices of the I + PSD·PSD combine family.
+        A = rng.randn(d, d)
+        M = np.eye(d) + 0.3 * (A @ A.T)
+        rows = [[jnp.asarray(M[i, j]).reshape(1, 1) for j in range(d)] for i in range(d)]
+        inv_rows = list_inv(rows, d)
+        got = np.array(
+            [[float(inv_rows[i][j].reshape(())) for j in range(d)] for i in range(d)]
+        )
+        npt.assert_allclose(got, la.inv(M), rtol=1e-9, atol=1e-11)

@@ -107,6 +107,37 @@ def test_strip_smoother_matches_tl():
     npt.assert_allclose(L_s, L_x, rtol=1e-8, atol=1e-9)
 
 
+def test_strip_engine_matches_tl_d4():
+    """d > 3 fused path end-to-end (Schur-recursed in-kernel inverses):
+    RBF order 4 through the strip filter + smoother vs the XLA TL engine.
+    Tiny T/block: CPU interpret cost grows superlinearly with the unrolled
+    body size (CLAUDE.md), and the d=4 body is ~4x the d=3 one."""
+    from parallel_gps_tpu.kernels import RBF
+
+    T = 37
+    rng = np.random.RandomState(5)
+    t = np.sort(rng.rand(T))
+    y = obs_noise(sinu(t), 0.1, 5)
+    y[rng.choice(T, 4, replace=False)] = np.nan
+    ys = jnp.asarray(y).reshape(-1, 1)
+    kernel = RBF(variance=1.0, lengthscales=0.3, order=4, balancing_iter=5)
+    ssm = kernel.get_ssm_tl(
+        jnp.asarray(t).reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1)
+    )
+    b_x, C_x, ell_x = pkf_from_tl(ssm, ys, True)
+    b_s, C_s, ell_s = strip_filter(
+        ssm.Fs, ssm.Qs, ssm.P0, ssm.H, ssm.R, ys, block=8, interpret=True
+    )
+    npt.assert_allclose(b_s, b_x, rtol=1e-8, atol=1e-9)
+    npt.assert_allclose(C_s, C_x, rtol=1e-8, atol=1e-9)
+    npt.assert_allclose(float(ell_s), float(ell_x), rtol=1e-9)
+
+    g_x, L_x = pks_from_tl(ssm, b_x, C_x)
+    g_s, L_s = strip_smoother(ssm.Fs, ssm.Qs, b_x, C_x, block=8, interpret=True)
+    npt.assert_allclose(g_s, g_x, rtol=1e-7, atol=1e-8)
+    npt.assert_allclose(L_s, L_x, rtol=1e-7, atol=1e-8)
+
+
 def test_list_schur_inverse_matches_numpy():
     """The row-list Schur-complement inverse (pallas_scan._inv for d > 3,
     used by the fused kernels for high-order kernels) against numpy, f64.

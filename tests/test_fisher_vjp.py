@@ -66,6 +66,38 @@ def test_fisher_vjp_matches_autodiff(Kcls, nan_frac):
     npt.assert_allclose(np.asarray(gy1), np.asarray(gy2), rtol=1e-8, atol=1e-11)
 
 
+def test_fisher_vjp_matches_autodiff_d6():
+    # d > 3 leg: the VJP's smoother gains / predicted-covariance inverses go
+    # through the Schur-recursed _inv (timelast.py) — RBF order 6 exercises
+    # it end-to-end through discretization gradients.
+    from parallel_gps_tpu.kernels import RBF
+
+    ts, ys = _data(T=97, nan_frac=0.1, seed=3)
+
+    def make(params):
+        var, ell, nv = params
+        return RBF(
+            variance=var, lengthscales=ell, order=6, balancing_iter=5
+        ).get_ssm_tl(ts, jnp.reshape(nv, (1, 1)))
+
+    def f_fisher(params, o):
+        return lml_tl(make(params), o)
+
+    def f_auto(params, o):
+        return pkf_from_tl(make(params), o, True)[2]
+
+    p = (jnp.asarray(1.1), jnp.asarray(0.3), jnp.asarray(0.07))
+    v1, g1 = jax.value_and_grad(f_fisher, argnums=(0,))(p, ys)
+    v2, g2 = jax.value_and_grad(f_auto, argnums=(0,))(p, ys)
+    npt.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    npt.assert_allclose(
+        np.asarray(jax.tree.leaves(g1)),
+        np.asarray(jax.tree.leaves(g2)),
+        rtol=1e-7,
+        atol=1e-9,
+    )
+
+
 def test_fisher_vjp_small_dt_conditioning():
     # Tight time spacing makes Q nearly singular; the naive Fisher forms
     # (½(Q⁻¹MQ⁻¹ − Q⁻¹)) lose ~9 digits here — the predicted-covariance

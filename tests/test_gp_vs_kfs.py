@@ -27,7 +27,7 @@ T = 200
 K = 50
 _rng = np.random.RandomState(31415926)
 _t = np.sort(_rng.rand(T))
-_y = obs_noise(sinu(_t), 0.1, None if False else 42)
+_y = obs_noise(sinu(_t), 0.1, 42)
 _query = np.sort(_rng.rand(K))
 
 DATA = (jnp.asarray(_t).reshape(-1, 1), jnp.asarray(_y).reshape(-1, 1))

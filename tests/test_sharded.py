@@ -151,6 +151,32 @@ def test_sharded_tl_smoother_matches_single_device():
     npt.assert_allclose(L2, L1, rtol=1e-8, atol=1e-10)
 
 
+def test_sharded_tl_filter_matches_single_device_d6():
+    # d > 3 leg: the sharded combine runs the d-generic TL operator
+    # (Schur-recursed inverses) — RBF order 6 over the 8-device mesh must
+    # match the single-device engine exactly in f64 (pure reassociation;
+    # pinned at 1e-9 rel).
+    from parallel_gps_tpu.kernels import RBF
+
+    mesh = make_time_mesh()
+    T = 1024
+    rng = np.random.RandomState(9)
+    t = np.sort(rng.rand(T))
+    y = obs_noise(sinu(t), 0.1, 10)
+    y[rng.choice(T, T // 12, replace=False)] = np.nan
+    ssm = RBF(
+        variance=1.0, lengthscales=0.25, order=6, balancing_iter=5
+    ).get_ssm_tl(jnp.asarray(t).reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1))
+    ys = jnp.asarray(y).reshape(-1, 1)
+    b1, C1, ell1 = pkf_from_tl(ssm, ys, True)
+    b2, C2, ell2 = jax.jit(
+        lambda s, o: sharded_pkf_tl(s, o, mesh, return_loglikelihood=True)
+    )(ssm, ys)
+    npt.assert_allclose(b2, b1, rtol=1e-7, atol=1e-9)
+    npt.assert_allclose(C2, C1, rtol=1e-7, atol=1e-9)
+    npt.assert_allclose(float(ell2), float(ell1), rtol=1e-11)
+
+
 def test_sharded_tl_gradients_match_single_device():
     mesh = make_time_mesh()
     _, ys, ts = _tl_setup(seed=5)

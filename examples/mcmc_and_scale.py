@@ -31,13 +31,10 @@ def main():
     import jax.numpy as jnp
 
     import parallel_gps_tpu as pgt
-    from parallel_gps_tpu import config
     from parallel_gps_tpu.inference import hmc_kernel, sample_chains
 
-    # Batched chains vmap the model's likelihood; the fused single-series
-    # Pallas kernels don't batch, so select the XLA engine (see
-    # StateSpaceGP.log_marginal_likelihood).  No-op off-TPU.
-    config.set_pallas_lml(False)
+    # Vmapped chains dispatch to the batched-sublane fused kernels on TPU
+    # via custom_vmap (kalman/pallas_scan.py) — no engine flags needed.
     from parallel_gps_tpu.inference.optim import make_log_posterior
     from parallel_gps_tpu.models.params import unconstrain
     from parallel_gps_tpu.toymodels import obs_noise, sinu

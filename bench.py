@@ -70,8 +70,33 @@ def _sol_seconds(n: int, d: int, block: int = 1024, dtype_bytes: int = 4):
     return (t_hbm, "hbm") if t_hbm >= t_vpu else (t_vpu, "vpu")
 
 
+def _accelerator_alive(timeout_s: float) -> bool:
+    """Probe device init in a subprocess: the tunneled-TPU PJRT init can hang
+    indefinitely when the tunnel is down (it has no timeout of its own), which
+    would otherwise hang this whole benchmark before its first measurement."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def main():
     import jax
+
+    if not _accelerator_alive(float(os.environ.get("BENCH_PROBE_TIMEOUT", 300))):
+        # Accelerator unreachable: fall back to CPU rather than hanging; the
+        # JSON's "device" field records that this is NOT a TPU measurement.
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from parallel_gps_tpu.config import enable_compilation_cache

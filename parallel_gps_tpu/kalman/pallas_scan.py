@@ -213,11 +213,17 @@ def _filt_combine_rows(X1, X2, d):
     returns the combined element as a flat row list."""
     A1, b1, C1, J1, eta1 = _filt_unpack(X1, d)
     A2, b2, C2, J2, eta2 = _filt_unpack(X2, d)
-    U = _mm(A2, _inv(_plus_eye(_mm(C1, J2, d), d), d), d)
+    V = _inv(_plus_eye(_mm(C1, J2, d), d), d)
+    U = _mm(A2, V, d)
     A = _mm(U, A1, d)
     b = _vadd(_mv(U, _vadd(b1, _mv(C1, eta2, d), d), d), b2, d)
     C = _madd(_mm(_mm(U, C1, d), _mt(A2, d), d), C2, d)
-    W = _mm(_mt(A1, d), _inv(_plus_eye(_mm(J2, C1, d), d), d), d)
+    # C1 and J2 are symmetric (combine outputs are _sym'd; element
+    # construction builds them from commutative products), so
+    # I + J2 C1 = (I + C1 J2)ᵀ and its inverse is Vᵀ — the second matrix
+    # inversion and the J2·C1 product drop out of the hot combine
+    # (~15-20% of the filter scan's VPU work; row-list transpose is free).
+    W = _mm(_mt(A1, d), _mt(V, d), d)
     eta = _vadd(_mv(W, _vsub(eta2, _mv(J2, b1, d), d), d), eta1, d)
     J = _madd(_mm(_mm(W, J2, d), A1, d), J1, d)
     C = _sym(C, d)

@@ -238,12 +238,15 @@ def filtering_operator_tl(
         A1.shape,
     )
 
-    U = _mm(A2, _inv(I + _mm(C1, J2)))  # A2 (I + C1 J2)⁻¹
+    V = _inv(I + _mm(C1, J2))
+    U = _mm(A2, V)  # A2 (I + C1 J2)⁻¹
     A = _mm(U, A1)
     b = _mv(U, b1 + _mv(C1, eta2)) + b2
     C = _mm(_mm(U, C1), _mt(A2)) + C2
 
-    W = _mm(_mt(A1), _inv(I + _mm(J2, C1)))  # A1ᵀ (I + J2 C1)⁻¹
+    # Symmetric C1/J2 ⇒ I + J2 C1 = (I + C1 J2)ᵀ: reuse Vᵀ instead of a
+    # second inverse (one inverse + one matmul saved per combine).
+    W = _mm(_mt(A1), _mt(V))  # A1ᵀ (I + J2 C1)⁻¹
     eta = _mv(W, eta2 - _mv(J2, b1)) + eta1
     J = _mm(_mm(W, J2), A1) + J1
 

@@ -98,6 +98,20 @@ def _sym(a, d):
     return [[0.5 * (a[i][j] + a[j][i]) for j in range(d)] for i in range(d)]
 
 
+def _mm_symout(a, bt, add, d):
+    """``a · btᵀ + add`` for a product that is symmetric in exact arithmetic:
+    only the d(d+1)/2 upper-triangle entries are computed and the lower
+    triangle aliases them (free in row-list form) — replaces a full product
+    followed by ``_sym`` in the hot combines."""
+    out = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            v = sum(a[i][k] * bt[j][k] for k in range(d)) + add[i][j]
+            out[i][j] = v
+            out[j][i] = v
+    return out
+
+
 def _plus_eye(a, d):
     return [
         [a[i][j] + (1.0 if i == j else 0.0) for j in range(d)]
@@ -217,17 +231,18 @@ def _filt_combine_rows(X1, X2, d):
     U = _mm(A2, V, d)
     A = _mm(U, A1, d)
     b = _vadd(_mv(U, _vadd(b1, _mv(C1, eta2, d), d), d), b2, d)
-    C = _madd(_mm(_mm(U, C1, d), _mt(A2, d), d), C2, d)
-    # C1 and J2 are symmetric (combine outputs are _sym'd; element
+    # U C1 A2ᵀ = A2 (VC1) A2ᵀ is symmetric in exact arithmetic (push-through
+    # identity: VC1 = C1Vᵀ), so only its upper triangle is computed.
+    C = _mm_symout(_mm(U, C1, d), A2, C2, d)
+    # C1 and J2 are symmetric (combine outputs mirrored symmetric; element
     # construction builds them from commutative products), so
     # I + J2 C1 = (I + C1 J2)ᵀ and its inverse is Vᵀ — the second matrix
     # inversion and the J2·C1 product drop out of the hot combine
     # (~15-20% of the filter scan's VPU work; row-list transpose is free).
     W = _mm(_mt(A1, d), _mt(V, d), d)
     eta = _vadd(_mv(W, _vsub(eta2, _mv(J2, b1, d), d), d), eta1, d)
-    J = _madd(_mm(_mm(W, J2, d), A1, d), J1, d)
-    C = _sym(C, d)
-    J = _sym(J, d)
+    # (W J2) A1 = A1ᵀ (VᵀJ2) A1 symmetric likewise.
+    J = _mm_symout(_mm(W, J2, d), _mt(A1, d), J1, d)
     return (
         [A[i][j] for i in range(d) for j in range(d)]
         + list(b)
@@ -277,7 +292,8 @@ def _smooth_combine_rows(X1, X2, d):
     E2, g2, L2 = _smooth_unpack(X2, d)
     E = _mm(E2, E1, d)
     g = _vadd(_mv(E2, g1, d), g2, d)
-    L = _madd(_mm(_mm(E2, L1, d), _mt(E2, d), d), L2, d)
+    # E2 L1 E2ᵀ symmetric (L1 symmetric): upper triangle only.
+    L = _mm_symout(_mm(E2, L1, d), E2, L2, d)
     return (
         [E[i][j] for i in range(d) for j in range(d)]
         + list(g)

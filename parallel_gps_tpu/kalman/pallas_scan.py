@@ -320,15 +320,19 @@ def _build_filtering_rows(F, Q, y, mask, h, r, P0v, is_first, d):
     """
     HQ = [sum(h[k] * Q[k][j] for k in range(d)) for j in range(d)]
     Sv = sum(h[j] * HQ[j] for j in range(d)) + r
-    Sinv = 1.0 / Sv
-    K = [HQ[j] * Sinv for j in range(d)]
+    # Fold the missing-data mask into the gain/precision scalars once (a
+    # masked step has K = 0, S⁻¹-weighted terms = 0 ⇒ A=F, C=Q, b=η=J=0,
+    # the reference's NaN element) instead of masking every d² entry.
+    Sinv_m = mask / Sv
+    K = [HQ[j] * Sinv_m for j in range(d)]
     HF = [sum(h[k] * F[k][j] for k in range(d)) for j in range(d)]
 
-    A = [[F[a][c] - mask * (K[a] * HF[c]) for c in range(d)] for a in range(d)]
-    b = [mask * (K[a] * y) for a in range(d)]
-    C = [[Q[a][c] - mask * (K[a] * HQ[c]) for c in range(d)] for a in range(d)]
-    eta = [mask * (HF[a] * Sinv * y) for a in range(d)]
-    J = [[mask * (HF[a] * HF[c] * Sinv) for c in range(d)] for a in range(d)]
+    A = [[F[a][c] - K[a] * HF[c] for c in range(d)] for a in range(d)]
+    b = [K[a] * y for a in range(d)]
+    C = [[Q[a][c] - K[a] * HQ[c] for c in range(d)] for a in range(d)]
+    Sy = Sinv_m * y
+    eta = [HF[a] * Sy for a in range(d)]
+    J = [[HF[a] * HF[c] * Sinv_m for c in range(d)] for a in range(d)]
 
     P0h = [sum(P0v[a][k] * h[k] for k in range(d)) for a in range(d)]
     S1 = sum(h[k] * P0h[k] for k in range(d)) + r

@@ -757,11 +757,18 @@ def _strip_filter_apply_kernel(
         for c in range(d):
             Pprev[a][c] = jnp.where(is_first, P0v[a][c], Pprev[a][c])
 
-    mp = _mv(F, mprev, d)
-    Pp = _madd(_mm(_mm(F, Pprev, d), _mt(F, d), d), Q, d)
-    mean = sum(h[a] * mp[a] for a in range(d))
-    Pph = [sum(Pp[a][k] * h[k] for k in range(d)) for a in range(d)]
-    var = sum(h[a] * Pph[a] for a in range(d)) + r
+    # Innovation moments via quadratic forms: only the h-projection of the
+    # predicted moments is needed, so hF·Pprev·hFᵀ + hQhᵀ replaces
+    # materializing the full Pp (2d³ → ~2d² mul/adds per element).
+    hF = [sum(h[k] * F[k][j] for k in range(d)) for j in range(d)]
+    mean = sum(hF[j] * mprev[j] for j in range(d))
+    PhF = [sum(Pprev[j][k] * hF[k] for k in range(d)) for j in range(d)]
+    hQ = [sum(h[k] * Q[k][j] for k in range(d)) for j in range(d)]
+    var = (
+        sum(hF[j] * PhF[j] for j in range(d))
+        + sum(hQ[j] * h[j] for j in range(d))
+        + r
+    )
     diff = y - mean
     logp = -0.5 * (diff * diff / var + jnp.log(var) + math.log(2.0 * math.pi))
     acc_ref[0] = acc_ref[0] + jnp.sum(jnp.where(mask > 0, logp, 0.0))
@@ -1016,11 +1023,18 @@ def _batched_filter_kernel(
         for c in range(d):
             Pprev[a][c] = jnp.where(is_first, P0v[a][c], Pprev[a][c])
 
-    mp = _mv(F, mprev, d)
-    Pp = _madd(_mm(_mm(F, Pprev, d), _mt(F, d), d), Q, d)
-    mean = sum(h[a] * mp[a] for a in range(d))
-    Pph = [sum(Pp[a][k] * h[k] for k in range(d)) for a in range(d)]
-    var = sum(h[a] * Pph[a] for a in range(d)) + r
+    # Innovation moments via quadratic forms: only the h-projection of the
+    # predicted moments is needed, so hF·Pprev·hFᵀ + hQhᵀ replaces
+    # materializing the full Pp (2d³ → ~2d² mul/adds per element).
+    hF = [sum(h[k] * F[k][j] for k in range(d)) for j in range(d)]
+    mean = sum(hF[j] * mprev[j] for j in range(d))
+    PhF = [sum(Pprev[j][k] * hF[k] for k in range(d)) for j in range(d)]
+    hQ = [sum(h[k] * Q[k][j] for k in range(d)) for j in range(d)]
+    var = (
+        sum(hF[j] * PhF[j] for j in range(d))
+        + sum(hQ[j] * h[j] for j in range(d))
+        + r
+    )
     diff = y - mean
     logp = -0.5 * (diff * diff / var + jnp.log(var) + math.log(2.0 * math.pi))
     logp = jnp.where(mask > 0, logp, 0.0)

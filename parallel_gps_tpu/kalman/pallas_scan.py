@@ -360,23 +360,22 @@ def _build_smoothing_rows(Fn, Qn, m, P, is_global_last, d):
     shared by the strip and batched smoother kernels.  ``is_global_last``
     marks each series' final position: (E=0, g=m_T, L=P_T)."""
     FP = _mm(Fn, P, d)
-    Pp = _sym(_madd(_mm(FP, _mt(Fn, d), d), Qn, d), d)
+    # FP Fnᵀ + Qn is symmetric (P, Qn symmetric): upper triangle + mirror.
+    Pp = _mm_symout(FP, Fn, Qn, d)
     E = _mt(_mm(_inv(Pp, d), FP, d), d)
     g = _vsub(m, _mv(_mm(E, Fn, d), m, d), d)
-    Lm = _sym(
-        [
-            [
-                P[a][c]
-                - sum(
-                    E[a][k1] * sum(Pp[k1][k2] * E[c][k2] for k2 in range(d))
-                    for k1 in range(d)
-                )
-                for c in range(d)
-            ]
-            for a in range(d)
-        ],
-        d,
-    )
+    # L = P − E Pp Eᵀ, symmetric: precompute (Pp Eᵀ) once and fill the
+    # upper triangle only.
+    PpE = [
+        [sum(Pp[k1][k2] * E[c][k2] for k2 in range(d)) for k1 in range(d)]
+        for c in range(d)
+    ]
+    Lm = [[None] * d for _ in range(d)]
+    for a in range(d):
+        for c in range(a, d):
+            v = P[a][c] - sum(E[a][k1] * PpE[c][k1] for k1 in range(d))
+            Lm[a][c] = v
+            Lm[c][a] = v
     for a in range(d):
         g[a] = jnp.where(is_global_last, m[a], g[a])
         for c in range(d):

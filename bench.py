@@ -9,13 +9,18 @@ engine on the same chip — the architecture class the reference's sequential
 path represents — measured at N_SEQ and extrapolated per-step.  The ratio is
 exactly the paper's span-parallelism claim, measured.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
+"extras"}.  ``extras`` carries the secondary BASELINE.md rows (LML eval,
+LML+grad, batched-64 LML, N=10M pkfs) so round-over-round regressions on
+them are driver-visible; disable with BENCH_EXTRAS=0.  The N=10M row only
+runs on an accelerator (or with BENCH_10M=1) — it is minutes on CPU.
 """
 from __future__ import annotations
 
 import json
 import math
 import os
+import sys
 import time
 
 import numpy as np
@@ -76,7 +81,6 @@ def _accelerator_alive(timeout_s: float) -> bool:
     indefinitely when the tunnel is down (it has no timeout of its own), which
     would otherwise hang this whole benchmark before its first measurement."""
     import subprocess
-    import sys
 
     try:
         subprocess.run(
@@ -90,14 +94,94 @@ def _accelerator_alive(timeout_s: float) -> bool:
         return False
 
 
-def main():
+def _reexec_cpu_only() -> None:
+    """Restart this benchmark with the accelerator plugin disabled.
+
+    The tunneled-TPU PJRT plugin is registered by sitecustomize at interpreter
+    start, so once this process exists, *any* jax.devices() call can hang on a
+    dead tunnel — flipping jax_platforms after the fact does NOT help (backend
+    registration precedes selection).  The only reliable fallback is a fresh
+    interpreter with PALLAS_AXON_POOL_IPS blanked, which skips plugin
+    registration entirely (CLAUDE.md "tunnel can go DOWN").
+    """
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_CPU_FALLBACK"] = "1"  # loop guard
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+
+def _extras(kernel_cls, dtype, on_cpu: bool) -> dict:
+    """Secondary driver-visible metrics (VERDICT r2 item 9): LML eval,
+    LML+grad (the MCMC/training step), batched-64 LML, and N=10M pkfs."""
     import jax
+    import jax.numpy as jnp
 
-    if not _accelerator_alive(float(os.environ.get("BENCH_PROBE_TIMEOUT", 300))):
-        # Accelerator unreachable: fall back to CPU rather than hanging; the
-        # JSON's "device" field records that this is NOT a TPU measurement.
-        jax.config.update("jax_platforms", "cpu")
+    from parallel_gps_tpu.kalman.timelast import lml_tl, pkfs_from_tl
+    from parallel_gps_tpu.kernels import Matern32, Matern52
+    from parallel_gps_tpu.toymodels import obs_noise, sinu
 
+    reps = 3 if on_cpu else REPS
+    pallas = not on_cpu
+    out: dict = {}
+
+    def make(kern, T, seed=0):
+        rng = np.random.RandomState(seed)
+        t = np.sort(rng.rand(T)).astype(np.float32)
+        y = obs_noise(sinu(t), 0.1, seed).astype(np.float32)
+        ssm = jax.jit(kern.get_ssm_tl)(
+            jnp.asarray(t, dtype).reshape(-1, 1),
+            jnp.asarray(0.1, dtype).reshape(1, 1),
+        )
+        jax.block_until_ready(ssm)
+        return ssm, jnp.asarray(y, dtype).reshape(-1, 1)
+
+    # LML eval + LML+grad at the headline size (Fisher-identity VJP).
+    ssm, ys = make(Matern32(1.0, 0.5), N)
+    f_lml = jax.jit(lambda s, o: lml_tl(s, o, pallas))
+    t_lml, _ = _median_time(f_lml, ssm, ys, reps=reps)
+    out["lml_N1M_ms"] = round(t_lml * 1e3, 3)
+    f_vg = jax.jit(jax.value_and_grad(lambda s, o: lml_tl(s, o, pallas)))
+    t_vg, _ = _median_time(lambda s, o: f_vg(s, o)[1].P0, ssm, ys, reps=reps)
+    out["lml_grad_N1M_ms"] = round(t_vg * 1e3, 3)
+    del ssm, ys
+
+    # Batched 64 GPs × T=65,536 LML: vmap dispatches to the batched-sublane
+    # kernels through custom_vmap (pallas_scan.py).
+    B, Tb = 64, 65_536
+    rng = np.random.RandomState(1)
+    t64 = np.sort(rng.rand(Tb)).astype(np.float32)
+    ssm_b, _ = make(Matern32(1.0, 0.5), Tb, seed=1)
+    ys_b = jnp.asarray(
+        sinu(t64)[None] + 0.1 * rng.randn(B, Tb), dtype
+    ).reshape(B, Tb, 1)
+    f_b = jax.jit(jax.vmap(lambda o: lml_tl(ssm_b, o, pallas)))
+    t_b, _ = _median_time(f_b, ys_b, reps=reps)
+    out["batched64_lml_T65k_ms"] = round(t_b * 1e3, 3)
+    out["batched64_lml_agg_tsps"] = round(B * Tb / t_b, 1)
+    del ssm_b, ys_b
+
+    # N=10M single chip (minutes on CPU — accelerator or BENCH_10M=1 only).
+    if not on_cpu or os.environ.get("BENCH_10M") == "1":
+        ssm10, ys10 = make(Matern52(0.8, 0.4), 10_000_000)
+        f10 = jax.jit(lambda s, o: pkfs_from_tl(s, o, pallas=pallas))
+        t10, _ = _median_time(f10, ssm10, ys10, reps=min(3, reps))
+        out["pkfs_N10M_ms"] = round(t10 * 1e3, 2)
+        out["pkfs_N10M_tsps"] = round(10_000_000 / t10, 1)
+        del ssm10, ys10
+    return out
+
+
+def main():
+    if os.environ.get("BENCH_CPU_FALLBACK") != "1" and not _accelerator_alive(
+        float(os.environ.get("BENCH_PROBE_TIMEOUT", 300))
+    ):
+        # Accelerator unreachable: restart without the accelerator plugin
+        # rather than hanging; the JSON's "device" field records that the
+        # result is NOT a TPU measurement.
+        _reexec_cpu_only()
+
+    import jax
     import jax.numpy as jnp
 
     from parallel_gps_tpu.config import enable_compilation_cache
@@ -126,7 +210,8 @@ def main():
 
     # Fused Pallas engine on TPU (forward-only — exactly what this benchmark
     # measures); fall back to the XLA time-last engine elsewhere.
-    engine = "pallas" if jax.devices()[0].platform != "cpu" else "auto"
+    on_cpu = jax.devices()[0].platform == "cpu"
+    engine = "auto" if on_cpu else "pallas"
     try:
         par = jax.jit(lambda s, o: pkfs(s, o, engine=engine))
         t_par, (sms, sPs) = _median_time(par, ssm, ys)
@@ -159,6 +244,13 @@ def main():
     sol = t_sol / t_par
     sol_device = t_sol / max(t_par - t_disp, 1e-9)
 
+    extras = {}
+    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        try:
+            extras = _extras(Matern32, dtype, on_cpu)
+        except Exception as e:  # noqa: BLE001 — extras must not kill the headline
+            extras = {"error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -176,6 +268,7 @@ def main():
                 "dispatch_wall_s": round(t_disp, 4),
                 "engine": engine,
                 "device": str(jax.devices()[0].platform),
+                "extras": extras,
             }
         )
     )

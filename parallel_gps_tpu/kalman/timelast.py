@@ -796,6 +796,21 @@ def _lml_tl_fwd(lgssm_tl, observations, pallas):
 
 def _lml_tl_bwd(pallas, residuals, gbar):
     lgssm_tl, observations, b_tl, C_tl = residuals
+    mhat, Phat = pks_from_tl(lgssm_tl, b_tl, C_tl, pallas=pallas)
+    return fisher_grads_from_smoothed(
+        lgssm_tl, observations, b_tl, C_tl, mhat, Phat, gbar
+    )
+
+
+def fisher_grads_from_smoothed(
+    lgssm_tl, observations, b_tl, C_tl, mhat, Phat, gbar
+):
+    """Fisher-identity LML cotangents from filtered (b, C) and smoothed
+    (m̂, P̂) time-last moments — the elementwise tail of the custom VJP,
+    shared by the single-chip ``lml_tl`` and the time-axis-sharded
+    ``parallel.sharded.sharded_lml_tl`` (the formulas are elementwise over
+    T apart from one-step shifts, so GSPMD partitions them from the operand
+    shardings).  Returns (LGSSMTL cotangent, ∂ℓ/∂y)."""
     P0, Fs, Qs, H, R = lgssm_tl
     d = P0.shape[0]
     dtype = P0.dtype
@@ -808,9 +823,8 @@ def _lml_tl_bwd(pallas, residuals, gbar):
     y = jnp.where(mask, jnp.nan_to_num(ys), 0.0)
     maskf = mask.astype(dtype)
 
-    # Smoothed moments (one smoother pass) and RTS gains E_{k−1} (pair
-    # (k−1, k), aligned with transition k; pre-initial gain E₋₁ from P0).
-    mhat, Phat = pks_from_tl(lgssm_tl, b_tl, C_tl, pallas=pallas)
+    # RTS gains E_{k−1} (pair (k−1, k), aligned with transition k;
+    # pre-initial gain E₋₁ from P0).
     E = _smoother_gains_tl(Fs, Qs, b_tl, C_tl)
     F0 = Fs[:, :, 0]
     Q0 = Qs[:, :, 0]

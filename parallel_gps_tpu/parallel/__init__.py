@@ -13,6 +13,7 @@ from parallel_gps_tpu.parallel.sharded import (
     make_time_mesh,
     sharded_batched_lml_tl,
     sharded_batched_pkf_lml,
+    sharded_lml_tl,
     sharded_pkf,
     sharded_pkf_tl,
     sharded_pkfs,
@@ -36,6 +37,7 @@ __all__ = [
     "sharded_pkf_tl",
     "sharded_pks_tl",
     "sharded_pkfs_tl",
+    "sharded_lml_tl",
     "sharded_batched_lml_tl",
     "sharded_batched_pkf_lml",
 ]

@@ -188,6 +188,32 @@ class Sum(SDEKernel):
         d = jax.lax.stop_gradient(balance_scale(F, self._n_iter()))
         return out * (d[None, None, :] / d[None, :, None])
 
+    def transitions_m1_tl(self, dts: Array):
+        """Time-last counterpart of :meth:`transitions_m1`: children's
+        (dk, dk, T) planes written into the block diagonal of a (d, d, T)
+        stack — no batched (T, d, d) layout is ever materialized (the
+        register-padded form OOMs at N ≥ 1M for composite dims)."""
+        from parallel_gps_tpu.ops.expm import expm1_dt_tl
+
+        sdes = [k.get_sde() for k in self.kernels]
+        children = []
+        for k, s in zip(self.kernels, sdes):
+            m1 = k.transitions_m1_tl(dts)
+            if m1 is None:
+                m1 = expm1_dt_tl(s.F, dts)
+            children.append(m1)
+        T = dts.shape[0]
+        dim = sum(s.F.shape[0] for s in sdes)
+        out = jnp.zeros((dim, dim, T), children[0].dtype)
+        r = 0
+        for m1 in children:
+            dk = m1.shape[0]
+            out = out.at[r : r + dk, r : r + dk, :].set(m1)
+            r += dk
+        F = _block_diag([s.F for s in sdes])
+        d = jax.lax.stop_gradient(balance_scale(F, self._n_iter()))
+        return out * (d[None, :, None] / d[:, None, None])
+
     def __repr__(self):  # avoid flax auto-repr recursion noise in errors
         return f"Sum({', '.join(map(repr, self.kernels))})"
 
@@ -279,6 +305,44 @@ class Product(SDEKernel):
         F = reduce(lambda F1, F2: _kron_F(F1, F2), [s.F for s in sdes])
         d = jax.lax.stop_gradient(balance_scale(F, self._n_iter()))
         return out * (d[None, None, :] / d[None, :, None])
+
+    def transitions_m1_tl(self, dts: Array):
+        """Time-last Kronecker fold (see :meth:`transitions_m1`): the
+        Kronecker products broadcast over (dₐ, d_b, dₐ, d_b, T) with the T
+        axis last, so no register-padded batched (T, d, d) layout appears —
+        the quasi-periodic CO2 composite (d = 18) discretizes at N ≥ 1M
+        without the 28×-padded-temp blowup."""
+        from parallel_gps_tpu.ops.expm import expm1_dt_tl
+
+        sdes = [k.get_sde() for k in self.kernels]
+        children = []
+        for k, s in zip(self.kernels, sdes):
+            m1 = k.transitions_m1_tl(dts)
+            if m1 is None:
+                m1 = expm1_dt_tl(s.F, dts)
+            children.append(m1)
+
+        def bkron_tl(a, b):  # Kronecker over the leading dims, T on lanes
+            da = a.shape[0]
+            db = b.shape[0]
+            T = a.shape[-1]
+            return (
+                a[:, None, :, None, :] * b[None, :, None, :, :]
+            ).reshape(da * db, da * db, T)
+
+        def fold_m1_tl(am1, bm1):
+            Ia = jnp.broadcast_to(
+                jnp.eye(am1.shape[0], dtype=am1.dtype)[:, :, None], am1.shape
+            )
+            Ib = jnp.broadcast_to(
+                jnp.eye(bm1.shape[0], dtype=bm1.dtype)[:, :, None], bm1.shape
+            )
+            return bkron_tl(am1, bm1) + bkron_tl(am1, Ib) + bkron_tl(Ia, bm1)
+
+        out = reduce(fold_m1_tl, children)
+        F = reduce(lambda F1, F2: _kron_F(F1, F2), [s.F for s in sdes])
+        d = jax.lax.stop_gradient(balance_scale(F, self._n_iter()))
+        return out * (d[None, :, None] / d[:, None, None])
 
     def _n_iter(self) -> int:
         return (

@@ -115,6 +115,28 @@ class Periodic(SDEKernel):
         out = out.at[:, ev + 1, ev + 1].set(cm1)
         return out
 
+    def transitions_m1_tl(self, dts: Array):
+        """Time-last rotation planes, assembled directly as (d, d, T): each
+        (i, j) entry is a (T,) lane plane — composite discretization through
+        :meth:`SDEKernel.get_ssm_tl` never materializes the register-padded
+        batched (T, d, d) layout (the expm1_dt_tl rationale, ops/expm.py)."""
+        dtype = dts.dtype
+        N = self.order
+        w0 = 2.0 * math.pi / jnp.asarray(self.period, dtype)
+        j = jnp.arange(N + 1, dtype=dtype)
+        theta = (w0 * j)[:, None] * dts[None, :]  # (N+1, T)
+        cm1 = -2.0 * jnp.sin(0.5 * theta) ** 2
+        s = jnp.sin(theta)
+        T = dts.shape[0]
+        dim = 2 * (N + 1)
+        ev = jnp.arange(N + 1) * 2
+        out = jnp.zeros((dim, dim, T), dtype)
+        out = out.at[ev, ev, :].set(cm1)
+        out = out.at[ev, ev + 1, :].set(-s)
+        out = out.at[ev + 1, ev, :].set(s)
+        out = out.at[ev + 1, ev + 1, :].set(cm1)
+        return out
+
     def dense(self, X: Array, X2: Array) -> Array:
         tau = X.reshape(-1, 1) - X2.reshape(-1, 1).T
         s = jnp.sin(math.pi * tau / self.period) / self.lengthscales

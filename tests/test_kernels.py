@@ -123,3 +123,32 @@ def test_dense_covariances_match_sde_stationary_covariance():
         )(taus)
         k_dense = cov.dense(jnp.zeros((1,)), taus.reshape(-1, 1))[0]
         npt.assert_allclose(k_sde, k_dense, atol=tol, rtol=tol)
+
+
+def test_composite_time_last_transitions_match_batched():
+    """Periodic/Sum/Product build (d, d, T) transition planes directly
+    (transitions_m1_tl); they must equal the batched closed forms exactly —
+    composite discretization must never need the register-padded (T, d, d)
+    layout (ops/expm.py::expm1_dt_tl rationale)."""
+    from parallel_gps_tpu.kernels import Matern52
+
+    rng = np.random.RandomState(0)
+    dts = jnp.asarray(np.abs(rng.rand(64)) * 0.01 + 1e-5)
+    ts = jnp.asarray(np.sort(rng.rand(64))).reshape(-1, 1)
+    R = jnp.asarray(0.1).reshape(1, 1)
+    for cov in [
+        Periodic(1.2, 0.7, 1.3, order=3),
+        Matern32(1.0, 0.5) + Matern52(0.8, 0.4),
+        Periodic(1.0, 0.5, 1.0, order=2) * Matern32(1.0, 0.5),
+        # the CO2 showcase composite, d = 18
+        Periodic(1.0, 0.5, 1.0, order=3) * Matern32(1.0, 0.5)
+        + Matern32(0.5, 2.0),
+    ]:
+        tl = cov.transitions_m1_tl(dts)
+        assert tl is not None and tl.shape[-1] == dts.shape[0]
+        bt = jnp.moveaxis(cov.transitions_m1(dts), 0, -1)
+        npt.assert_array_equal(tl, bt)
+        s_tl = cov.get_ssm_tl(ts, R)
+        s_bt = cov.get_ssm(ts, R)
+        npt.assert_array_equal(s_tl.Fs, jnp.moveaxis(s_bt.Fs, 0, -1))
+        npt.assert_array_equal(s_tl.Qs, jnp.moveaxis(s_bt.Qs, 0, -1))

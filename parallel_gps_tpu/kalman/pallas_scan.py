@@ -603,14 +603,16 @@ def pick_strip_block(d: int, itemsize: int = 4, vmem_budget: int = VMEM_BUDGET_B
         bytes ≈ (2·(in_rows + out_rows) + 3·n) · S · block · itemsize
 
     with in_rows = 2d²+2 (F, Q, y, mask), out_rows = n = 3d²+2d.  Clamped
-    to [128, 2048]; larger blocks were never faster in the block sweeps
-    (per-element combine work grows as log2(block) + 2).
+    to [128, DEFAULT_STRIP_BLOCK]: per-element combine work grows as
+    log2(block) + 2 and the scans are VPU-bound, so blocks beyond the
+    measured-best 1024 only add rounds; smaller blocks are chosen when
+    d/dtype push the scoped VMEM over budget (e.g. d=6 f32 → 512).
     """
     n = filt_rows(d)
     in_rows = 2 * d * d + 2
     per_lane = (2 * (in_rows + n) + 3 * n) * N_STRIPS * itemsize
     block = 128
-    while block < 2048 and (block * 2) * per_lane <= vmem_budget:
+    while block < DEFAULT_STRIP_BLOCK and (block * 2) * per_lane <= vmem_budget:
         block *= 2
     return block
 

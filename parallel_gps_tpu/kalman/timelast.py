@@ -645,12 +645,12 @@ def pkf_from_tl(
         # wrapper so vmapped callers (batched GPs / MCMC chains) hit the
         # batched-sublane kernels instead of failing at Mosaic lowering.
         from parallel_gps_tpu.kalman.pallas_scan import (
-            DEFAULT_STRIP_BLOCK,
+            pick_strip_block,
             strip_filter_op,
         )
 
         b_tl, C_tl, ell = strip_filter_op(
-            block or DEFAULT_STRIP_BLOCK, interpret
+            block or pick_strip_block(d, jnp.dtype(dtype).itemsize), interpret
         )(Fs_tl, Qs_tl, P0, H, R, observations)
         if not return_loglikelihood:
             return b_tl, C_tl
@@ -685,13 +685,13 @@ def pks_from_tl(
         # the raw F/Q/moment planes (see pallas_scan.strip_smoother);
         # custom_vmap-wrapped like the filter.
         from parallel_gps_tpu.kalman.pallas_scan import (
-            DEFAULT_STRIP_BLOCK,
+            pick_strip_block,
             strip_smoother_op,
         )
 
-        return strip_smoother_op(block or DEFAULT_STRIP_BLOCK, interpret)(
-            Fs_tl, Qs_tl, b_tl, C_tl
-        )
+        return strip_smoother_op(
+            block or pick_strip_block(d, jnp.dtype(dtype).itemsize), interpret
+        )(Fs_tl, Qs_tl, b_tl, C_tl)
     e = _smoothing_elements_from_planes(Fs_tl, Qs_tl, b_tl, C_tl)
     final = kogge_stone_scan_tl(
         smoothing_operator_tl,

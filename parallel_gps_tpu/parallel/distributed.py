@@ -152,6 +152,9 @@ def scan_efficiency_report(
     time_axis: str = "time",
     dtype=jnp.float32,
     reps: int = 5,
+    engine: str = "xla",
+    block: int | None = None,
+    interpret: bool = False,
 ) -> dict:
     """Measure distributed-scan overhead on ``mesh``: wall time of the
     sharded filter (local scans + boundary-element all_gather + prefix
@@ -164,19 +167,26 @@ def scan_efficiency_report(
     algorithmic overhead (fix-up pass + prefix recompute); on real hardware
     the same harness captures ICI/DCN latency.  Results feed BASELINE.md's
     scaling-efficiency row.
-    """
+
+    ``d``: 1–3 use the Matérn family; d > 3 uses RBF(order=d) — the sharded
+    combine runs the Schur-recursed d-generic operator there.  ``engine``
+    as in sharded_pkf_tl ('pallas' measures the fused strip kernels per
+    shard with the prefix folded into their apply pass; TPU only unless
+    ``interpret``)."""
     from parallel_gps_tpu.kalman.timelast import (
         _filtering_elements_from_planes,
         filtering_identity_tl,
         filtering_operator_tl,
         kogge_stone_scan_tl,
     )
-    from parallel_gps_tpu.kernels import Matern12, Matern32, Matern52
-    from parallel_gps_tpu.parallel.sharded import sharded_pkf_tl
+    from parallel_gps_tpu.kernels import RBF, Matern12, Matern32, Matern52
+    from parallel_gps_tpu.parallel.sharded import _resolve_engine, sharded_pkf_tl
 
     kernel_cls = {1: Matern12, 2: Matern32, 3: Matern52}.get(d)
-    if kernel_cls is None:
-        raise ValueError(f"scan_efficiency_report supports d in 1..3, got {d}")
+    if kernel_cls is not None:
+        kernel = kernel_cls(variance=1.0, lengthscales=0.5)
+    else:
+        kernel = RBF(variance=1.0, lengthscales=0.25, order=d, balancing_iter=10)
 
     from jax.sharding import NamedSharding, PartitionSpec
 
@@ -186,7 +196,6 @@ def scan_efficiency_report(
     t = np.sort(rng.rand(T))
     ts = jnp.asarray(t, dtype).reshape(-1, 1)
     ys = jnp.asarray(np.sin(7 * t) + 0.1 * rng.randn(T), dtype).reshape(-1, 1)
-    kernel = kernel_cls(variance=1.0, lengthscales=0.5)
     ssm = jax.jit(kernel.get_ssm_tl)(ts, jnp.asarray(0.1, dtype).reshape(1, 1))
     # Shard the SSM planes and observations over the time axis up front —
     # otherwise GSPMD receives replicated inputs and pays a full reshard
@@ -215,22 +224,42 @@ def scan_efficiency_report(
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / reps
 
+    eng = _resolve_engine(engine)
     sharded = jax.jit(
-        lambda s, y: sharded_pkf_tl(s, y, mesh, axis=time_axis)
+        lambda s, y: sharded_pkf_tl(
+            s, y, mesh, axis=time_axis,
+            engine=eng, block=block, interpret=interpret,
+        )
     )
     t_sharded = _timed(sharded, ssm, ys)
 
-    # Pure local scan at the per-shard size (the useful-work denominator).
+    # Pure local scan at the per-shard size (the useful-work denominator),
+    # on the SAME engine the sharded path runs per shard.
     T_loc = T // n_shards
     ssm_loc = jax.tree.map(
         lambda x: x[..., :T_loc] if x.ndim and x.shape[-1] == T else x, ssm
     )
 
-    def local(s, y):
-        e = _filtering_elements_from_planes(s.P0, s.Fs, s.Qs, s.H, s.R, y)
-        return kogge_stone_scan_tl(
-            filtering_operator_tl, e, filtering_identity_tl(d, dtype)
+    if eng == "pallas":
+        from parallel_gps_tpu.kalman.pallas_scan import (
+            pick_strip_block,
+            strip_filter,
         )
+
+        blk = block or pick_strip_block(d, jnp.dtype(dtype).itemsize)
+
+        def local(s, y):
+            return strip_filter(
+                s.Fs, s.Qs, s.P0, s.H, s.R, y, block=blk, interpret=interpret
+            )
+
+    else:
+
+        def local(s, y):
+            e = _filtering_elements_from_planes(s.P0, s.Fs, s.Qs, s.H, s.R, y)
+            return kogge_stone_scan_tl(
+                filtering_operator_tl, e, filtering_identity_tl(d, dtype)
+            )
 
     t_local = _timed(jax.jit(local), ssm_loc, ys[:T_loc])
 
@@ -241,6 +270,8 @@ def scan_efficiency_report(
     return {
         "n_shards": int(n_shards),
         "T": int(T),
+        "d": int(d),
+        "engine": eng,
         "t_sharded_s": t_sharded,
         "t_local_shard_s": t_local,
         "efficiency": t_local / t_sharded if t_sharded > 0 else float("nan"),

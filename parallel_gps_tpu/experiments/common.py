@@ -150,10 +150,19 @@ def run_one_mcmc(
     seed: int = 0,
     trainable=None,
     progress: bool | int = False,
+    warmup: int = 0,
 ):
     """Sample hyperparameter posteriors; returns (samples_unconstrained pytree,
     acceptance_rate, wall_seconds).  Failures record NaNs and keep going —
     the sweep convention of the reference (common.py:74-92).
+
+    ``warmup`` > 0 runs that many dual-averaging adaptation steps first
+    (inference.mcmc.dual_averaging_warmup) and replaces ``step_size`` with
+    the adapted value, starting the chain from the warmed position — the
+    opt-in upgrade over the reference's fixed-step protocol (which
+    demonstrably collapses at n=16k, BASELINE.md toy MCMC row).  The
+    acceptance statistic reported is the (trajectory-mean) Metropolis
+    acceptance probability, TFP-comparable.
 
     ``progress``: in-chain progress reporting (the reference's TFP
     ``ProgressBarReducer``, common.py:117-121).  The fully-jitted chain
@@ -171,14 +180,29 @@ def run_one_mcmc(
 
     log_post, u0 = make_log_posterior(model, priors, trainable=trainable)
     _, unravel = ravel_pytree(u0)
+    log_post_flat = lambda x: log_post(unravel(x))  # noqa: E731
+    rng = jax.random.PRNGKey(seed)
+    t0 = time.time()
+    if warmup > 0:
+        from parallel_gps_tpu.inference import dual_averaging_warmup
+
+        rng, k_warm = jax.random.split(rng)
+        step_size, u0 = dual_averaging_warmup(
+            lambda eps: make_kernel(
+                algo, log_post_flat, eps,
+                num_leapfrog_steps=num_leapfrog_steps,
+            ),
+            u0,
+            log_post,
+            k_warm,
+            num_warmup=warmup,
+        )
     kernel = make_kernel(
         algo,
-        lambda x: log_post(unravel(x)),
+        log_post_flat,
         step_size,
         num_leapfrog_steps=num_leapfrog_steps,
     )
-    rng = jax.random.PRNGKey(seed)
-    t0 = time.time()
     try:
         if not progress:
             samples, accept = sample_chain(

@@ -70,6 +70,7 @@ def run(args) -> dict:
             n_samples=args.n_samples,
             burnin=args.burnin,
             step_size=args.step_size,
+            warmup=args.warmup,
             seed=i,
             progress=args.progress,
         )
@@ -100,6 +101,8 @@ def main():
     p.add_argument("--n-samples", type=int, default=1000)
     p.add_argument("--burnin", type=int, default=100)
     p.add_argument("--step-size", type=float, default=1.0)
+    p.add_argument("--warmup", type=int, default=0,
+                   help="dual-averaging step-size adaptation iterations (0 = the reference's fixed-step protocol)")
     p.add_argument("--plot", action="store_true", help="posterior-predictive spaghetti figure")
     p.add_argument("--no-run", action="store_true", help="skip sampling (reload saved results)")
     p.set_defaults(noise_variance=300.0)

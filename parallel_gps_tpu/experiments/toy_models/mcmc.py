@@ -58,6 +58,7 @@ def run(args) -> dict:
             n_samples=args.n_samples,
             burnin=args.burnin,
             step_size=args.step_size,
+            warmup=args.warmup,
             seed=i,
             progress=args.progress,
         )
@@ -103,6 +104,8 @@ def main():
     p.add_argument("--n-samples", type=int, default=1000)
     p.add_argument("--burnin", type=int, default=100)
     p.add_argument("--step-size", type=float, default=0.01)
+    p.add_argument("--warmup", type=int, default=0,
+                   help="dual-averaging step-size adaptation iterations (0 = the reference's fixed-step protocol)")
     run(p.parse_args())
 
 

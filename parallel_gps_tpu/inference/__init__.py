@@ -1,4 +1,6 @@
 from parallel_gps_tpu.inference.mcmc import (
+    dual_averaging_warmup,
+    find_reasonable_step_size,
     hmc_kernel,
     mala_kernel,
     nuts_kernel,
@@ -22,4 +24,6 @@ __all__ = [
     "nuts_kernel",
     "sample_chain",
     "sample_chains",
+    "dual_averaging_warmup",
+    "find_reasonable_step_size",
 ]

@@ -66,9 +66,17 @@ def hmc_kernel(
         out = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), new, state
         )
-        return out, accept
+        return out, _accept_prob(log_accept)
 
     return step
+
+
+def _accept_prob(log_accept):
+    """Metropolis acceptance probability min(1, exp(log_accept)) — the
+    TFP-comparable per-step statistic (its mean is what the reference's
+    protocol logs, pssgp/experiments/common.py:83); NaN energies count 0."""
+    a = jnp.exp(jnp.minimum(log_accept, 0.0))
+    return jnp.where(jnp.isnan(a), jnp.zeros_like(a), a)
 
 
 def mala_kernel(log_prob_fn: Callable, step_size: float):
@@ -89,7 +97,7 @@ def mala_kernel(log_prob_fn: Callable, step_size: float):
         accept = jnp.log(jax.random.uniform(k2, dtype=lp_new.dtype)) < log_accept
         new = ChainState(q_new, lp_new, g_new)
         out = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new, state)
-        return out, accept
+        return out, _accept_prob(log_accept)
 
     return step
 
@@ -115,6 +123,8 @@ class _TreeState(NamedTuple):
     depth: jax.Array
     turning: jax.Array
     diverging: jax.Array
+    sum_alpha: jax.Array  # Σ min(1, e^{E0−E}) over visited leaves
+    n_alpha: jax.Array  # number of visited leaves
     rng: jax.Array
 
 
@@ -162,6 +172,8 @@ def nuts_kernel(
             log_w: jax.Array
             turning: jax.Array
             diverging: jax.Array
+            sum_alpha: jax.Array
+            n_alpha: jax.Array
             ckpt_q: jax.Array  # (max_depth+1, dim) left endpoints per level
             ckpt_p: jax.Array
             rng: jax.Array
@@ -178,6 +190,9 @@ def nuts_kernel(
             energy = -lp + 0.5 * jnp.sum(p**2)
             log_w_leaf = energy0 - energy
             diverging = c.diverging | (log_w_leaf < -1000.0) | jnp.isnan(energy)
+            # Trajectory-mean Metropolis acceptance (Stan's accept_stat).
+            sum_alpha = c.sum_alpha + _accept_prob(log_w_leaf)
+            n_alpha = c.n_alpha + 1.0
 
             # Reservoir (multinomial) proposal update.
             rng, k = jax.random.split(c.rng)
@@ -230,6 +245,8 @@ def nuts_kernel(
                 log_w=log_w_new,
                 turning=turning,
                 diverging=diverging,
+                sum_alpha=sum_alpha,
+                n_alpha=n_alpha,
                 ckpt_q=ckpt_q,
                 ckpt_p=ckpt_p,
                 rng=rng,
@@ -250,6 +267,8 @@ def nuts_kernel(
             log_w=jnp.asarray(-jnp.inf, dtype),
             turning=jnp.zeros((), bool),
             diverging=jnp.zeros((), bool),
+            sum_alpha=jnp.zeros((), dtype),
+            n_alpha=jnp.zeros((), dtype),
             ckpt_q=jnp.zeros((max_depth + 1, dim), dtype),
             ckpt_p=jnp.zeros((max_depth + 1, dim), dtype),
             rng=rng,
@@ -277,6 +296,8 @@ def nuts_kernel(
             depth=jnp.zeros((), jnp.int32),
             turning=jnp.zeros((), bool),
             diverging=jnp.zeros((), bool),
+            sum_alpha=jnp.zeros((), dtype),
+            n_alpha=jnp.zeros((), dtype),
             rng=k_loop,
         )
 
@@ -332,13 +353,18 @@ def nuts_kernel(
                 depth=t.depth + 1,
                 turning=turning,
                 diverging=t.diverging | sub.diverging,
+                sum_alpha=t.sum_alpha + sub.sum_alpha,
+                n_alpha=t.n_alpha + sub.n_alpha,
                 rng=rng,
             )
 
         out = jax.lax.while_loop(cond, body, tree)
         new = ChainState(out.q_prop, out.lp_prop, out.g_prop)
-        accept = jnp.any(new.position != state.position)
-        return new, accept
+        # Trajectory-mean Metropolis acceptance over all visited leaves —
+        # the statistic TFP/Stan report (and what dual averaging targets);
+        # replaces the crude any(position changed) indicator.
+        accept_stat = out.sum_alpha / jnp.maximum(out.n_alpha, 1.0)
+        return new, accept_stat
 
     del max_leaves
     return step
@@ -357,7 +383,9 @@ def sample_chain(
     num_samples: int,
     num_burnin: int = 0,
 ):
-    """Run one chain; returns (samples pytree stacked on axis 0, is_accepted).
+    """Run one chain; returns (samples pytree stacked on axis 0,
+    acceptance statistic per step — the (trajectory-mean) Metropolis
+    acceptance probability, whose mean matches TFP's logged rate).
 
     ``initial_position`` is a pytree; ``log_prob_fn_tree`` takes the pytree.
     The reference analogue is TFP's ``sample_chain``
@@ -388,7 +416,11 @@ def sample_chain(
 
 
 def make_kernel(name: str, log_prob_flat, step_size, **kwargs):
-    """Factory mirroring the reference's MCMC enum (common.py:21-25)."""
+    """Factory mirroring the reference's MCMC enum (common.py:21-25).
+
+    ``step_size`` may be a traced scalar — the kernels use it purely
+    arithmetically — which is what lets dual averaging adapt it inside a
+    single compiled warmup scan."""
     name = name.upper()
     if name == "HMC":
         return hmc_kernel(
@@ -399,6 +431,113 @@ def make_kernel(name: str, log_prob_flat, step_size, **kwargs):
     if name == "NUTS":
         return nuts_kernel(log_prob_flat, step_size, kwargs.get("max_depth", 8))
     raise ValueError(f"unknown MCMC kernel: {name}")
+
+
+# --------------------------------------------------------------------------
+# Step-size adaptation (opt-in): Nesterov dual averaging (Hoffman & Gelman
+# 2014, Algorithm 5/6).  The reference runs fixed step sizes only — its toy
+# protocol demonstrably collapses at n=16k (BASELINE.md toy MCMC row); this
+# is the TPU-era upgrade, exposed via run_one_mcmc(warmup=...).
+# --------------------------------------------------------------------------
+
+
+def find_reasonable_step_size(
+    log_prob_flat: Callable, state: ChainState, rng: jax.Array,
+    init: float = 1.0, max_iters: int = 60,
+):
+    """Algorithm 4 of Hoffman & Gelman: from ``init``, double (halve) the
+    step size until the one-leapfrog acceptance probability crosses 1/2.
+    Fully jittable (lax.while_loop); NaN energies count as acceptance 0."""
+    dtype = state.position.dtype
+    p0 = jax.random.normal(rng, state.position.shape, dtype)
+    k0 = 0.5 * jnp.sum(p0**2)
+
+    def log_alpha(eps):
+        new, p = _leapfrog(log_prob_flat, state, p0, eps, 1)
+        la = new.log_prob - state.log_prob - 0.5 * jnp.sum(p**2) + k0
+        return jnp.where(jnp.isnan(la), -jnp.inf, la)
+
+    log2 = jnp.asarray(jnp.log(2.0), dtype)
+    a = jnp.where(log_alpha(jnp.asarray(init, dtype)) > -log2, 1.0, -1.0)
+
+    def cond(c):
+        eps, it = c
+        return (a * log_alpha(eps) > -a * log2) & (it < max_iters)
+
+    def body(c):
+        eps, it = c
+        return eps * jnp.exp(a * log2), it + 1
+
+    eps, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(init, dtype), jnp.zeros((), jnp.int32))
+    )
+    return eps
+
+
+def dual_averaging_warmup(
+    make_step: Callable,
+    initial_position,
+    log_prob_fn_tree: Callable,
+    rng: jax.Array,
+    num_warmup: int = 500,
+    target_accept: float = 0.8,
+    gamma: float = 0.05,
+    t0: float = 10.0,
+    kappa: float = 0.75,
+    init_step_size: float | None = None,
+):
+    """Adapt the step size over ``num_warmup`` iterations; returns
+    (step_size, warmed position pytree).
+
+    ``make_step(eps)`` must build a kernel step (e.g.
+    ``lambda e: make_kernel("nuts", lp_flat, e)``) whose second return is
+    the acceptance statistic the adaptation targets — the kernels here all
+    return the (trajectory-mean) Metropolis acceptance probability.  One
+    compiled ``lax.scan``; ``eps`` is traced through the kernel."""
+    flat0, unravel = ravel_pytree(initial_position)
+
+    def log_prob_flat(x):
+        return log_prob_fn_tree(unravel(x))
+
+    state0 = _init_state(log_prob_flat, flat0)
+    dtype = flat0.dtype
+    rng, k_find = jax.random.split(rng)
+    if init_step_size is None:
+        eps0 = find_reasonable_step_size(log_prob_flat, state0, k_find)
+    else:
+        eps0 = jnp.asarray(init_step_size, dtype)
+    mu = jnp.log(10.0 * eps0)
+
+    def one(carry, key):
+        state, m, log_eps, log_eps_bar, h_bar = carry
+        step = make_step(jnp.exp(log_eps))
+        state, alpha = step(key, state)
+        alpha = jnp.clip(alpha.astype(dtype), 0.0, 1.0)
+        m = m + 1.0
+        h_bar = (1.0 - 1.0 / (m + t0)) * h_bar + (target_accept - alpha) / (
+            m + t0
+        )
+        log_eps = mu - jnp.sqrt(m) / gamma * h_bar
+        eta = m**-kappa
+        log_eps_bar = eta * log_eps + (1.0 - eta) * log_eps_bar
+        return (state, m, log_eps, log_eps_bar, h_bar), alpha
+
+    keys = jax.random.split(rng, num_warmup)
+
+    @jax.jit
+    def run(state0, eps0, keys):
+        init = (
+            state0,
+            jnp.zeros((), dtype),
+            jnp.log(eps0),
+            jnp.log(eps0),
+            jnp.zeros((), dtype),
+        )
+        (state, _, _, log_eps_bar, _), alphas = jax.lax.scan(one, init, keys)
+        return state, jnp.exp(log_eps_bar), alphas
+
+    state, eps, _ = run(state0, eps0, keys)
+    return eps, unravel(state.position)
 
 
 def sample_chains(
@@ -427,33 +566,42 @@ def sample_chains(
 
     ``chunk_size``: monolithic vmaps wider than ~32 chains hit an XLA
     fusion cliff on TPU (measured 150 ms vs 12 ms for 64 chains × T=65k
-    LML+grad); when the chain count is a multiple of ``chunk_size`` the
-    chains run as ``lax.map`` over vmapped chunks instead — same results,
-    one compile.  Pass ``None`` to force a single vmap.
+    LML+grad); wider chain counts run as ``lax.map`` over vmapped chunks
+    instead — same results, one compile.  Chain counts that are not a
+    multiple of ``chunk_size`` are padded up with duplicated chains (their
+    draws are discarded), so no width ever lands back on the monolithic
+    cliff.  Pass ``None`` to force a single vmap.
     """
     n_chains = jax.tree.leaves(initial_positions)[0].shape[0]
-    keys = jax.random.split(rng, n_chains)
 
     def run_one(pos, key):
         return sample_chain(
             kernel_step, pos, log_prob_fn_tree, key, num_samples, num_burnin
         )
 
-    if (
-        chunk_size is None
-        or n_chains <= chunk_size
-        or n_chains % chunk_size != 0
-    ):
+    if chunk_size is None or n_chains <= chunk_size:
+        keys = jax.random.split(rng, n_chains)
         return jax.vmap(run_one)(initial_positions, keys)
-    n_chunks = n_chains // chunk_size
 
-    def chunked(x):
+    n_chunks = -(-n_chains // chunk_size)
+    n_pad = n_chunks * chunk_size
+    # Real chains keep the same per-chain keys as the monolithic path
+    # (bitwise-identical draws); pad chains duplicate the last one and are
+    # discarded below.
+    keys = jax.random.split(rng, n_chains)
+
+    def padded(x):
+        if n_pad != n_chains:
+            reps = jnp.broadcast_to(
+                x[-1:], (n_pad - n_chains,) + x.shape[1:]
+            )
+            x = jnp.concatenate([x, reps], axis=0)
         return x.reshape((n_chunks, chunk_size) + x.shape[1:])
 
-    pos_c = jax.tree.map(chunked, initial_positions)
+    pos_c = jax.tree.map(padded, initial_positions)
     out = jax.lax.map(
-        lambda args: jax.vmap(run_one)(*args), (pos_c, chunked(keys))
+        lambda args: jax.vmap(run_one)(*args), (pos_c, padded(keys))
     )
     return jax.tree.map(
-        lambda x: x.reshape((n_chains,) + x.shape[2:]), out
+        lambda x: x.reshape((n_pad,) + x.shape[2:])[:n_chains], out
     )

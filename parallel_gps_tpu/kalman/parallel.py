@@ -180,6 +180,24 @@ def _use_timelast(lgssm: LGSSM, engine: str) -> bool:
     return lgssm.P0.shape[0] <= 3
 
 
+def _tl_pallas(lgssm, engine: str) -> bool:
+    """Resolve ``engine`` for an LGSSMTL input; explicit requests that the
+    time-last path cannot honor raise instead of silently downgrading."""
+    d = lgssm.P0.shape[0]
+    if engine == "generic":
+        raise ValueError(
+            "engine='generic' (the reference-literal oracle) operates on the"
+            " LGSSM (time-first) layout only; convert explicitly, e.g."
+            " LGSSM(P0, moveaxis(Fs, -1, 0), moveaxis(Qs, -1, 0), H, R)"
+        )
+    if engine == "pallas" and d > 8:
+        raise ValueError(
+            f"engine='pallas' (fused strip kernels) supports d <= 8, got"
+            f" d={d}; use engine='auto' (XLA time-last, any d)"
+        )
+    return engine == "pallas"
+
+
 def pkf(
     lgssm: LGSSM,
     observations: Array,
@@ -206,11 +224,12 @@ def pkf(
         # (explicit engine="pallas" only — VMEM and compile time grow with
         # d^2, and f32 roundoff at d > 3 differs from the XLA engine at the
         # few-significant-digit level typical of the conditioning).
+        # Unsupported explicit requests raise (see _tl_pallas).
         out = pkf_from_tl(
             lgssm,
             observations,
             return_loglikelihood,
-            pallas=(engine == "pallas" and lgssm.P0.shape[0] <= 8),
+            pallas=_tl_pallas(lgssm, engine),
         )
         # Convert moments to the reference (T, d) layout; under jit the
         # conversion is dead-code-eliminated when callers only use ell.
@@ -318,7 +337,7 @@ def pks(
             lgssm,
             jnp.moveaxis(ms, 0, -1),
             jnp.moveaxis(Ps, 0, -1),
-            pallas=(engine == "pallas" and lgssm.P0.shape[0] <= 8),
+            pallas=_tl_pallas(lgssm, engine),
         )
         return jnp.moveaxis(g_tl, -1, 0), jnp.moveaxis(L_tl, -1, 0)
     if engine == "pallas":
@@ -356,7 +375,7 @@ def pkfs(
         return pkfs_from_tl(
             lgssm,
             observations,
-            pallas=(engine == "pallas" and lgssm.P0.shape[0] <= 8),
+            pallas=_tl_pallas(lgssm, engine),
         )
     fms, fPs = pkf(lgssm, observations, False, engine=engine)
     return pks(lgssm, fms, fPs, engine=engine)

@@ -25,6 +25,15 @@ from parallel_gps_tpu.kernels.base import SDEKernel
 from parallel_gps_tpu.types import LGSSM, LGSSMTL
 
 
+def _is_concrete(x) -> bool:
+    """True when ``x`` is not being traced by an outer transform.  Uses the
+    supported jax.core.is_concrete when present (the Tracer class access
+    path is deprecated in newer JAX)."""
+    if hasattr(jax.core, "is_concrete"):
+        return not isinstance(x, jax.Array) or jax.core.is_concrete(x)
+    return not isinstance(x, jax.core.Tracer)  # pragma: no cover
+
+
 def merge_sorted(a: Array, b: Array, a_data, b_data):
     """Stable merge of two sorted 1-D arrays plus parallel payloads.
 
@@ -88,8 +97,13 @@ class StateSpaceGP:
 
     def _fused_engine_ok(self) -> bool:
         """Whether the fused Pallas kernels apply: parallel engine, TPU
-        backend, d <= 3 (the kernels' ceiling), and not disabled via
-        ``config.set_pallas_lml(False)``."""
+        backend, d <= 3, and not disabled via ``config.set_pallas_lml(False)``.
+
+        The kernels themselves support d <= 8 (Schur-recursed in-kernel
+        inverses); d in 4..8 stays opt-in (engine="pallas" on the kalman
+        entry points) pending TPU timing/accuracy sign-off — f32 roundoff
+        at d > 3 differs from the XLA engine at the few-significant-digit
+        level typical of the conditioning (BASELINE.md round-3 notes)."""
         from parallel_gps_tpu import config
 
         return (
@@ -181,9 +195,8 @@ class StateSpaceGP:
         # The fused Pallas engine is forward-only (no VJP): use it only when
         # nothing here is being traced by an outer transform (grad/vmap of
         # predict_f falls back to the differentiable, batchable XLA engine).
-        use_pallas = self._fused_engine_ok() and not any(
-            isinstance(leaf, jax.core.Tracer)
-            for leaf in jax.tree.leaves((self, Xnew))
+        use_pallas = self._fused_engine_ok() and all(
+            _is_concrete(leaf) for leaf in jax.tree.leaves((self, Xnew))
         )
         mean, var = _predict_f_jit(self, Xnew, use_pallas)
         return mean[:m], var[:m]

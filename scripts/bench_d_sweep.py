@@ -136,6 +136,33 @@ def main():
         emit(bench="acc_d6_T65536", engine=name, lml=ell,
              rel_err_vs_f64=abs(ell - D6_TRUTH) / abs(D6_TRUTH))
 
+    # ---- 5. sharded engine on ONE chip vs the fused single-chip path -------
+    # VERDICT r2 item 2 "done" criterion: n_shards=1 sharded (strip kernels
+    # as the per-shard local scan + degenerate collective) within ~10% of
+    # the plain fused engine's wall.
+    try:
+        from parallel_gps_tpu.parallel.sharded import (
+            make_time_mesh,
+            sharded_lml_tl,
+            sharded_pkfs_tl,
+        )
+
+        mesh1 = make_time_mesh(1)
+        f_sh = jax.jit(
+            lambda s, o: sharded_pkfs_tl(s, o, mesh1, engine="pallas")
+        )
+        f_fu = jax.jit(
+            lambda s, o: pkfs_from_tl(s, o, pallas=True, time_first_out=False)
+        )
+        w_sh = med(f_sh, ssm3, ys3) * 1e3
+        w_fu = med(f_fu, ssm3, ys3) * 1e3
+        emit(bench="sharded1_vs_fused_pkfs_d3_N1M", sharded_ms=w_sh,
+             fused_ms=w_fu, ratio=w_sh / w_fu)
+        f_shl = jax.jit(lambda s, o: sharded_lml_tl(s, o, mesh1))
+        emit(bench="sharded1_lml_d3_N1M", wall_ms=med(f_shl, ssm3, ys3) * 1e3)
+    except Exception as e:  # noqa: BLE001
+        emit(bench="sharded1_vs_fused_pkfs_d3_N1M", error=str(e)[:200])
+
     os.makedirs("results", exist_ok=True)
     with open("results/d_sweep.json", "w") as fh:
         json.dump(RESULTS, fh, indent=1)

@@ -58,20 +58,22 @@ def _sol_seconds(n: int, d: int, block: int = 1024, dtype_bytes: int = 4):
     smoothed moments once (g (d), L (d²)) — a perfectly fused implementation
     touching HBM once per plane.
 
-    VPU floor: the strip engine's per-element work is ~(log2(block) + 2)
-    filter combines plus the same for the smoother.  A combine costs
-    ~(8d³ + inv(d) + 6d² + 4d) mul/adds (8 d×d matmuls, ONE adjugate
-    inverse — the information leg reuses its transpose since C/J are
-    symmetric — symmetrizations/axpys); measured ~70% of the v5e vector
-    peak at d=3, i.e. these scans are COMPUTE-bound, not bandwidth-bound
-    (the round-1 claim).  Returns (seconds, limiter).
+    VPU floor: the strip engine scans each block as sequential 128-lane
+    chunks (round 3), so per-element work is ~(log2(min(block, 128)) + 2)
+    filter combines (7 Kogge-Stone rounds within a chunk + the chunk-carry
+    fold + the strip-prefix fold) plus the same for the smoother.  A
+    combine costs ~(8d³ + inv(d) + 6d² + 4d) mul/adds (8 d×d matmuls, ONE
+    adjugate inverse — the information leg reuses its transpose since C/J
+    are symmetric — symmetrizations/axpys); measured ~70% of the v5e
+    vector peak at d=3 under the old 12-round model, i.e. these scans are
+    COMPUTE-bound, not bandwidth-bound.  Returns (seconds, limiter).
     """
     planes_in = 2 * d * d + 1
     planes_out = d * d + d
     t_hbm = (planes_in + planes_out) * n * dtype_bytes / (HBM_GBPS * 1e9)
     inv_flops = {1: 2, 2: 14, 3: 50}.get(d, 20 * d * d)
     combine = 8 * d**3 + inv_flops + 6 * d * d + 4 * d
-    rounds = math.log2(block) + 2
+    rounds = math.log2(min(block, 128)) + 2
     t_vpu = 2 * rounds * combine * n / (VPU_GFLOPS * 1e9)  # filter + smoother
     return (t_hbm, "hbm") if t_hbm >= t_vpu else (t_vpu, "vpu")
 

@@ -647,6 +647,50 @@ def _strip_ks_rounds(rows, combine_rows, d, ident_rows, reverse):
     return rows
 
 
+_SCAN_CHUNK = 128  # one vreg of lanes
+
+
+def _strip_chunked_scan(rows, combine_rows, d, ident_rows, reverse, init):
+    """Inclusive scan of (S, Lb) row tiles seeded by the ``init`` prefix
+    (suffix, for reverse) columns; returns (scanned rows, final carry cols).
+
+    Kogge-Stone over the whole Lb-lane block costs log2(Lb) combines per
+    element; here the block is scanned as sequential 128-lane (one-vreg)
+    chunks — log2(128) = 7 KS rounds within each chunk plus ONE carry fold
+    that also applies the incoming block prefix.  At the production
+    block=1024 that is 8 combines per element instead of 11, ~25% less VPU
+    work on a compute-bound scan (CLAUDE.md perf map), at identical math:
+    the chunk carry chain reassociates exactly like the block carry chain.
+    """
+    S, Lb = rows[0].shape
+    chunk = _SCAN_CHUNK
+    if Lb <= chunk or Lb % chunk != 0:
+        scanned = _strip_ks_rounds(rows, combine_rows, d, ident_rows, reverse)
+        pref = [jnp.broadcast_to(p, (S, Lb)) for p in init]
+        out = combine_rows(pref, scanned, d)
+        edge = [o[:, 0:1] if reverse else o[:, Lb - 1 : Lb] for o in out]
+        return out, edge
+    n = len(rows)
+    nc = Lb // chunk
+    carry = init
+    outs = [None] * nc
+    order = range(nc - 1, -1, -1) if reverse else range(nc)
+    for c in order:
+        sub = [r[:, c * chunk : (c + 1) * chunk] for r in rows]
+        sub = _strip_ks_rounds(sub, combine_rows, d, ident_rows, reverse)
+        pref = [jnp.broadcast_to(p, (S, chunk)) for p in carry]
+        folded = combine_rows(pref, sub, d)
+        carry = [
+            f[:, 0:1] if reverse else f[:, chunk - 1 : chunk] for f in folded
+        ]
+        outs[c] = folded
+    out = [
+        jnp.concatenate([outs[c][k] for c in range(nc)], axis=1)
+        for k in range(n)
+    ]
+    return out, carry
+
+
 def _strip_filter_scan_kernel(
     scal_ref, f_ref, q_ref, y_ref, mask_ref, elem_out, totals_out, carry_ref, *, d
 ):
@@ -687,16 +731,12 @@ def _strip_filter_scan_kernel(
         jnp.logical_and(sub == 0, lane == 0), jnp.full((S, Lb), first_here)
     )
     rows = _build_filtering_rows(F, Q, y, mask, h, r, P0v, is_first, d)
-    rows = _strip_ks_rounds(rows, _filt_combine_rows, d, ident_rows, False)
-    prefix = [
-        jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb)) for k in range(n)
-    ]
-    out_rows = _filt_combine_rows(prefix, rows, d)
-    stacked = jnp.stack(out_rows, axis=0)  # (n, S, Lb)
-    elem_out[:] = stacked
-    carry_ref[:] = jnp.broadcast_to(
-        stacked[:, :, Lb - 1 : Lb], carry_ref.shape
+    init = [carry_ref[k, :, 0:1] for k in range(n)]
+    out_rows, edge = _strip_chunked_scan(
+        rows, _filt_combine_rows, d, ident_rows, False, init
     )
+    elem_out[:] = jnp.stack(out_rows, axis=0)  # (n, S, Lb)
+    carry_ref[:] = jnp.broadcast_to(jnp.stack(edge, axis=0), carry_ref.shape)
     totals_out[:] = carry_ref[:]
 
 
@@ -1144,11 +1184,10 @@ def _batched_filter_kernel(
     lane0 = lane == 0
     is_first = jnp.logical_and(lane0, jnp.full((S, Lb), i_b == 0))
     rows = _build_filtering_rows(F, Q, y, mask, h, r, P0v, is_first, d)
-    rows = _strip_ks_rounds(rows, _filt_combine_rows, d, ident_rows, False)
-    prefix = [
-        jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb)) for k in range(n)
-    ]
-    out_rows = _filt_combine_rows(prefix, rows, d)
+    init = [carry_ref[k, :, 0:1] for k in range(n)]
+    out_rows, out_edge = _strip_chunked_scan(
+        rows, _filt_combine_rows, d, ident_rows, False, init
+    )
     b_rows = out_rows[d2 : d2 + d]
     c_rows = out_rows[d2 + d : 2 * d2 + d]
     b_out[:] = jnp.stack(b_rows, axis=0)
@@ -1214,7 +1253,7 @@ def _batched_filter_kernel(
     ell_out[0] = acc
 
     carry_ref[:] = jnp.broadcast_to(
-        jnp.stack(out_rows, axis=0)[:, :, Lb - 1 : Lb], carry_ref.shape
+        jnp.stack(out_edge, axis=0), carry_ref.shape
     )
 
 
@@ -1268,11 +1307,10 @@ def _batched_smoother_kernel(
         is_last_lane, jnp.full((S, Lb), i_b == 0)
     )
     rows = _build_smoothing_rows(Fn, Qn, m, P, is_global_last, d)
-    rows = _strip_ks_rounds(rows, _smooth_combine_rows, d, ident_rows, True)
-    suffix = [
-        jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb)) for k in range(n)
-    ]
-    out_rows = _smooth_combine_rows(suffix, rows, d)
+    init = [carry_ref[k, :, 0:1] for k in range(n)]
+    out_rows, out_edge = _strip_chunked_scan(
+        rows, _smooth_combine_rows, d, ident_rows, True, init
+    )
     g_rows = out_rows[d2 : d2 + d]
     l_rows = out_rows[d2 + d :]
     g_out[:] = jnp.stack(g_rows, axis=0)
@@ -1287,7 +1325,7 @@ def _batched_smoother_kernel(
         )
 
     carry_ref[0:n] = jnp.broadcast_to(
-        jnp.stack(out_rows, axis=0)[:, :, 0:1], (n,) + carry_ref.shape[1:]
+        jnp.stack(out_edge, axis=0), (n,) + carry_ref.shape[1:]
     )
     carry_ref[n : n + d2] = jnp.broadcast_to(
         f_ref[:][:, :, 0:1], (d2,) + carry_ref.shape[1:]
@@ -1621,15 +1659,13 @@ def _strip_smoother_scan_kernel(
         jnp.full((S, Lb), last_here),
     )
     rows = _build_smoothing_rows(Fn, Qn, m, P, is_global_last, d)
-    rows = _strip_ks_rounds(rows, _smooth_combine_rows, d, ident_rows, True)
-    prefix = [
-        jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb)) for k in range(n)
-    ]
-    out_rows = _smooth_combine_rows(prefix, rows, d)
-    stacked = jnp.stack(out_rows, axis=0)
-    elem_out[:] = stacked
+    init = [carry_ref[k, :, 0:1] for k in range(n)]
+    out_rows, edge = _strip_chunked_scan(
+        rows, _smooth_combine_rows, d, ident_rows, True, init
+    )
+    elem_out[:] = jnp.stack(out_rows, axis=0)
     carry_ref[0:n] = jnp.broadcast_to(
-        stacked[:, :, 0:1], (n,) + carry_ref.shape[1:]
+        jnp.stack(edge, axis=0), (n,) + carry_ref.shape[1:]
     )
     carry_ref[n : n + d2] = jnp.broadcast_to(
         f_ref[:][:, :, 0:1], (d2,) + carry_ref.shape[1:]

@@ -138,6 +138,39 @@ def test_strip_engine_matches_tl_d4():
     npt.assert_allclose(L_s, L_x, rtol=1e-7, atol=1e-8)
 
 
+def test_strip_chunked_scan_matches_tl(monkeypatch):
+    """The chunked in-block scan (sequential one-vreg chunk scans with a
+    carried prefix instead of full-block Kogge-Stone) reassociates but must
+    not change the math.  Production chunk=128 never activates at the tiny
+    interpret-mode blocks, so shrink it to 8 — block=32 then scans 4 chunks
+    per block, exercising the carry chain end-to-end (filter + smoother)."""
+    from parallel_gps_tpu.kalman import pallas_scan
+
+    monkeypatch.setattr(pallas_scan, "_SCAN_CHUNK", 8)
+    kernel = Matern52(0.8, 0.4)
+    T = 301  # pad + multiple blocks per strip at block=32
+    rng = np.random.RandomState(13)
+    t = np.sort(rng.rand(T))
+    y = obs_noise(sinu(t), 0.1, 13)
+    y[rng.choice(T, T // 9, replace=False)] = np.nan
+    ys = jnp.asarray(y).reshape(-1, 1)
+    ssm = kernel.get_ssm_tl(
+        jnp.asarray(t).reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1)
+    )
+    b_x, C_x, ell_x = pkf_from_tl(ssm, ys, True)
+    b_s, C_s, ell_s = strip_filter(
+        ssm.Fs, ssm.Qs, ssm.P0, ssm.H, ssm.R, ys, block=32, interpret=True
+    )
+    npt.assert_allclose(b_s, b_x, rtol=1e-9, atol=1e-10)
+    npt.assert_allclose(C_s, C_x, rtol=1e-9, atol=1e-10)
+    npt.assert_allclose(float(ell_s), float(ell_x), rtol=1e-10)
+
+    g_x, L_x = pks_from_tl(ssm, b_x, C_x)
+    g_s, L_s = strip_smoother(ssm.Fs, ssm.Qs, b_x, C_x, block=32, interpret=True)
+    npt.assert_allclose(g_s, g_x, rtol=1e-8, atol=1e-9)
+    npt.assert_allclose(L_s, L_x, rtol=1e-8, atol=1e-9)
+
+
 def test_list_schur_inverse_matches_numpy():
     """The row-list Schur-complement inverse (pallas_scan._inv for d > 3,
     used by the fused kernels for high-order kernels) against numpy, f64.

@@ -70,6 +70,7 @@ def run(args) -> dict:
         (t, y - y_mean),
         get_covariance_function(args.qp_order),
         args.noise_variance,
+        device=C.model_device_from_args(args),
     )
     samples, acc, wall = C.run_one_mcmc(
         model,

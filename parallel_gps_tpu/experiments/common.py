@@ -113,8 +113,41 @@ def get_covariance_function(
     raise ValueError(f"unknown covariance {kind}")
 
 
-def get_model(model: str, data, covariance, noise_variance: float):
-    """Model factory (reference: common.py:60-71)."""
+def resolve_model_device(model: str, platform: str | None, dtype: str):
+    """Per-model-kind device placement INSIDE one process — the reference's
+    study protocol maps GP→/gpu:1, SSGP→/cpu:0, PSSGP→/gpu:0 in the same
+    run (pssgp/experiments/toy_models/speed_and_stability.py:71-95 +
+    speed_and_stability.sh).  Here the split is: sequential-engine SSGP →
+    host CPU, scan-parallel PSSGP and the dense GP → the accelerator
+    (JAX's default device).  Returns a ``jax.Device`` to pin the model's
+    arrays to, or ``None`` for default placement.
+
+    float64 (no TPU f64 LU) and an explicit ``--platform cpu`` already run
+    the whole process on CPU, so the split collapses to ``None`` there.
+    """
+    import jax
+
+    if platform == "cpu" or dtype == "float64":
+        return None
+    if ModelEnum(model) == ModelEnum.SSGP:
+        return jax.devices("cpu")[0]
+    return None
+
+
+def model_device_from_args(args):
+    """--split-devices → the per-model device for ``get_model(device=…)``."""
+    if not getattr(args, "split_devices", False):
+        return None
+    return resolve_model_device(args.model, args.platform, args.dtype)
+
+
+def get_model(model: str, data, covariance, noise_variance: float, device=None):
+    """Model factory (reference: common.py:60-71).  ``device`` pins the
+    model's arrays (committed placement — jit follows committed inputs), so
+    different models of one sweep can run on different devices in a single
+    process (see resolve_model_device)."""
+    import jax
+
     from parallel_gps_tpu.models import GPR, StateSpaceGP
 
     model = ModelEnum(model)
@@ -125,18 +158,22 @@ def get_model(model: str, data, covariance, noise_variance: float):
 
         dtype = default_float()
         ts, ys = data
-        return GPR(
+        built = GPR(
             ts=jnp.asarray(ts, dtype).reshape(-1, 1),
             ys=jnp.asarray(ys, dtype).reshape(-1, 1),
             kernel=covariance,
             noise_variance=jnp.asarray(noise_variance, dtype),
         )
-    return StateSpaceGP.create(
-        data,
-        covariance,
-        noise_variance=noise_variance,
-        parallel=model == ModelEnum.PSSGP,
-    )
+    else:
+        built = StateSpaceGP.create(
+            data,
+            covariance,
+            noise_variance=noise_variance,
+            parallel=model == ModelEnum.PSSGP,
+        )
+    if device is not None:
+        built = jax.device_put(built, device)
+    return built
 
 
 def run_one_mcmc(
@@ -269,6 +306,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default="results")
     p.add_argument("--progress", action="store_true",
                    help="in-chain tqdm progress (segmented sampling)")
+    p.add_argument(
+        "--split-devices",
+        action="store_true",
+        help="reference-protocol per-model device split in one process: "
+        "ssgp→host CPU, pssgp/gp→accelerator (f32 + accelerator runs only)",
+    )
     p.add_argument("--data-dir", default=None)
     return p
 

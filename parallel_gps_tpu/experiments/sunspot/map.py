@@ -47,7 +47,8 @@ def run(args) -> dict:
     for n in args.sizes:
         t, y = get_data(n, args.data_dir)
         model = C.get_model(
-            args.model, (t, y), get_covariance_function(), args.noise_variance
+            args.model, (t, y), get_covariance_function(), args.noise_variance,
+            device=C.model_device_from_args(args),
         )
         from parallel_gps_tpu.inference import fit_lbfgs
 

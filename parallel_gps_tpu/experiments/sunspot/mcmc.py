@@ -61,7 +61,8 @@ def run(args) -> dict:
     for i, n in enumerate(args.sizes):
         t, y = get_data(n, args.data_dir)
         model = C.get_model(
-            args.model, (t, y), get_covariance_function(), args.noise_variance
+            args.model, (t, y), get_covariance_function(), args.noise_variance,
+            device=C.model_device_from_args(args),
         )
         samples, acc, wall = C.run_one_mcmc(
             model,

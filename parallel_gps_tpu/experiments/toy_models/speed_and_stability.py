@@ -74,7 +74,8 @@ def run(args) -> dict:
                     seed, n_train, n_pred, args.data_model, args.noise_variance
                 )
                 model = C.get_model(
-                    args.model, (t, y), cov, args.noise_variance
+                    args.model, (t, y), cov, args.noise_variance,
+                    device=C.model_device_from_args(args),
                 )
                 tic = time.time()
                 mean, var = model.predict_f(t_pred)

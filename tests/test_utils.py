@@ -47,3 +47,33 @@ def test_timed_blocks_on_sync():
     with timed("matmul", results) as box:
         box["sync"] = x @ x
     assert results["matmul"] > 0.0
+
+
+def test_split_device_model_placement():
+    """--split-devices protocol: ssgp pins to the host CPU device, pssgp/gp
+    keep default placement; float64 collapses the split (the whole process
+    is CPU there, like the reference's f64 runs).  Reference study maps
+    GP/SSGP/PSSGP to distinct devices in ONE process
+    (pssgp/experiments/toy_models/speed_and_stability.py:71-95)."""
+    import jax
+
+    from parallel_gps_tpu.experiments import common as C
+
+    cpu0 = jax.devices("cpu")[0]
+    assert C.resolve_model_device("ssgp", None, "float32") == cpu0
+    assert C.resolve_model_device("pssgp", None, "float32") is None
+    assert C.resolve_model_device("gp", None, "float32") is None
+    assert C.resolve_model_device("ssgp", None, "float64") is None
+    assert C.resolve_model_device("ssgp", "cpu", "float32") is None
+
+    t = np.sort(np.random.RandomState(0).rand(64))
+    y = np.sin(2 * np.pi * t)
+    model = C.get_model("ssgp", (t, y), Matern32(1.0, 0.5), 0.1, device=cpu0)
+    assert all(
+        cpu0 in leaf.devices()
+        for leaf in jax.tree.leaves(model)
+        if hasattr(leaf, "devices")
+    )
+    mean, var = model.predict_f(np.linspace(0.1, 0.9, 16))
+    assert np.all(np.isfinite(np.asarray(mean)))
+    assert np.all(np.asarray(var) > 0)

@@ -87,6 +87,26 @@ def main():
         emit(bench="pkfs_d3_N1M", block=block, wall_ms=med(fk, ssm3, ys3) * 1e3)
         emit(bench="lml_d3_N1M", block=block, wall_ms=med(fl, ssm3, ys3) * 1e3)
 
+    # ---- 1b. chunked vs unchunked in-block scan A/B (round 3) -------------
+    # Same binary, same data: disable the 128-lane chunk decomposition by
+    # raising _SCAN_CHUNK past any block (fresh jit objects force retrace).
+    from parallel_gps_tpu.kalman import pallas_scan as _ps
+
+    for block in (512, 1024, 2048):
+        for label, chunk in (("chunked", 128), ("kogge_stone", 1 << 30)):
+            _ps._SCAN_CHUNK = chunk
+            fk = jax.jit(
+                lambda s, o, b=block: pkfs_from_tl(s, o, pallas=True, block=b)
+            )
+            fl = jax.jit(
+                lambda s, o, b=block: pkf_from_tl(s, o, True, pallas=True, block=b)[2]
+            )
+            emit(bench="pkfs_d3_N1M_scan_ab", block=block, scan=label,
+                 wall_ms=med(fk, ssm3, ys3) * 1e3)
+            emit(bench="lml_d3_N1M_scan_ab", block=block, scan=label,
+                 wall_ms=med(fl, ssm3, ys3) * 1e3)
+    _ps._SCAN_CHUNK = 128
+
     # ---- 2. N=10M block sweep ---------------------------------------------
     T10 = 10_000_000
     ssm10, ys10 = make(Matern52(0.8, 0.4), T10)

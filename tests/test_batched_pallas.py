@@ -111,3 +111,37 @@ def test_custom_vmap_dispatches_to_batched_kernels(batch):
         g_ref, L_ref = pks_from_tl(ssms[i], b_ref, C_ref)
         npt.assert_allclose(g_v[i], g_ref, rtol=1e-8, atol=1e-10)
         npt.assert_allclose(L_v[i], L_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_batched_kernels_chunked_scan(batch):
+    """Chunked in-block scan parity for the BATCHED kernels: shrink the
+    one-vreg chunk to 8 lanes so BLOCK=16 scans as 2 chunks with a carried
+    prefix (the production chunk=128 never activates at interpret-scale
+    blocks)."""
+    from parallel_gps_tpu.kalman import pallas_scan
+
+    ssms, yss, refs = batch
+    Fs_bt = jnp.stack([s.Fs for s in ssms], axis=2)
+    Qs_bt = jnp.stack([s.Qs for s in ssms], axis=2)
+    P0_b = jnp.stack([s.P0 for s in ssms])
+    H_b = jnp.stack([s.H for s in ssms])
+    R_b = jnp.stack([s.R for s in ssms])
+    ys_b = jnp.asarray(np.stack(yss))
+
+    old = pallas_scan._SCAN_CHUNK
+    pallas_scan._SCAN_CHUNK = 8
+    try:
+        b_bt, C_bt, ell_b = batched_strip_filter(
+            Fs_bt, Qs_bt, P0_b, H_b, R_b, ys_b, block=BLOCK, interpret=True
+        )
+        g_bt, L_bt, _, _ = batched_strip_smoother(
+            Fs_bt, Qs_bt, b_bt, C_bt, H_b, block=BLOCK, interpret=True
+        )
+    finally:
+        pallas_scan._SCAN_CHUNK = old
+    for i, (b_ref, C_ref, ell_ref, g_ref, L_ref) in enumerate(refs):
+        npt.assert_allclose(b_bt[:, i], b_ref, rtol=1e-9, atol=1e-11)
+        npt.assert_allclose(C_bt[:, :, i], C_ref, rtol=1e-9, atol=1e-11)
+        npt.assert_allclose(ell_b[i], ell_ref, rtol=1e-10)
+        npt.assert_allclose(g_bt[:, i], g_ref, rtol=1e-8, atol=1e-10)
+        npt.assert_allclose(L_bt[:, :, i], L_ref, rtol=1e-8, atol=1e-10)

@@ -36,6 +36,23 @@ def set_pallas_lml(enabled: bool) -> None:
     PALLAS_LML = bool(enabled)
 
 
+# Largest state dimension the model layer auto-dispatches to the fused
+# Pallas kernels for (the kernels themselves support d <= 8 via
+# Schur-recursed in-kernel inverses, kalman/pallas_scan.py::_inv).  The
+# default stays at 3 pending the d=4..8 TPU timing/accuracy sign-off
+# (BASELINE.md round-3 notes — f32 roundoff at d > 3 sits at the
+# conditioning's few-significant-digit floor on BOTH engines); raise it
+# with ``set_fused_max_d(8)`` to run high-order RBF/Periodic kernels on
+# the fused path today.
+FUSED_MAX_D: int = 3
+
+
+def set_fused_max_d(d: int) -> None:
+    """Set the largest state dim auto-dispatched to the fused kernels."""
+    global FUSED_MAX_D
+    FUSED_MAX_D = int(d)
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache.
 

@@ -97,20 +97,22 @@ class StateSpaceGP:
 
     def _fused_engine_ok(self) -> bool:
         """Whether the fused Pallas kernels apply: parallel engine, TPU
-        backend, d <= 3, and not disabled via ``config.set_pallas_lml(False)``.
+        backend, d <= ``config.FUSED_MAX_D`` (default 3), and not disabled
+        via ``config.set_pallas_lml(False)``.
 
         The kernels themselves support d <= 8 (Schur-recursed in-kernel
-        inverses); d in 4..8 stays opt-in (engine="pallas" on the kalman
-        entry points) pending TPU timing/accuracy sign-off — f32 roundoff
-        at d > 3 differs from the XLA engine at the few-significant-digit
-        level typical of the conditioning (BASELINE.md round-3 notes)."""
+        inverses); the auto-dispatch ceiling stays at 3 pending the d=4..8
+        TPU timing/accuracy sign-off — f32 roundoff at d > 3 sits at the
+        conditioning's few-significant-digit floor on BOTH engines
+        (BASELINE.md round-3 notes).  ``config.set_fused_max_d(8)`` opts
+        high-order kernels onto the fused path."""
         from parallel_gps_tpu import config
 
         return (
             self.parallel
             and config.PALLAS_LML
             and jax.default_backend() == "tpu"
-            and self.kernel.state_dim <= 3
+            and self.kernel.state_dim <= min(config.FUSED_MAX_D, 8)
         )
 
     def _make_model(self, ts: Array) -> LGSSM:

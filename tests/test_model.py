@@ -140,3 +140,35 @@ def test_single_observation():
     np.testing.assert_allclose(lml, want, rtol=1e-9)
     mean, var = model.predict_f(np.asarray([0.5]))
     np.testing.assert_allclose(float(mean[0, 0]), 1.0 / 1.1, rtol=1e-9)
+
+
+def test_fused_max_d_config_gates_dispatch(monkeypatch):
+    """config.set_fused_max_d raises the model layer's fused-kernel
+    auto-dispatch ceiling (d <= 3 by default, kernels support d <= 8)."""
+    import jax
+
+    from parallel_gps_tpu import config
+    from parallel_gps_tpu.kernels import RBF
+
+    t = np.sort(np.random.RandomState(0).rand(32))
+    y = np.sin(2 * np.pi * t)
+    m6 = pgt.StateSpaceGP.create(
+        (t, y), RBF(1.0, 0.3, order=6, balancing_iter=3), 0.1, parallel=True
+    )
+    m3 = pgt.StateSpaceGP.create(
+        (t, y), pgt.kernels.Matern32(1.0, 0.3), 0.1, parallel=True
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert m3._fused_engine_ok()
+    assert not m6._fused_engine_ok()
+    monkeypatch.setattr(config, "FUSED_MAX_D", 8)
+    assert m6._fused_engine_ok()
+    monkeypatch.setattr(config, "FUSED_MAX_D", 99)  # kernels cap at 8
+    d18 = pgt.StateSpaceGP.create(
+        (t, y),
+        pgt.kernels.Periodic(1.0, 0.3, period=1.0, order=4)
+        * pgt.kernels.Matern32(1.0, 0.3),
+        0.1,
+        parallel=True,
+    )
+    assert not d18._fused_engine_ok()

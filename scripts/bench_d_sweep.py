@@ -149,6 +149,33 @@ def main():
          wall_ms=med(lambda s, o: vg_p(s, o)[1].P0, ssm6, ys6) * 1e3)
     del ssm6, ys6
 
+    # ---- 3b. fused-vs-XLA crossover at d=4 and d=8 (VERDICT-2 item 3:
+    # "recorded crossover table") — LML + pkfs only, at N=1M ----------------
+    for d, kern in ((4, RBF(variance=1.0, lengthscales=0.25, order=4,
+                            balancing_iter=10)),
+                    (8, RBF(variance=1.0, lengthscales=0.25, order=8,
+                            balancing_iter=10))):
+        try:
+            ssmd, ysd = make(kern, T)
+            fx = jax.jit(lambda s, o: lml_tl(s, o, False))
+            fp = jax.jit(lambda s, o: lml_tl(s, o, True))
+            ex, ep = float(fx(ssmd, ysd)), float(fp(ssmd, ysd))
+            emit(bench=f"lml_d{d}_N1M_value", xla=ex, pallas=ep,
+                 rel_diff=abs(ep - ex) / max(abs(ex), 1e-30))
+            emit(bench=f"lml_d{d}_N1M", engine="xla",
+                 wall_ms=med(fx, ssmd, ysd, reps=3, outer=3) * 1e3)
+            emit(bench=f"lml_d{d}_N1M", engine="pallas",
+                 wall_ms=med(fp, ssmd, ysd) * 1e3)
+            gx = jax.jit(lambda s, o: pkfs_from_tl(s, o, pallas=False))
+            gp = jax.jit(lambda s, o: pkfs_from_tl(s, o, pallas=True))
+            emit(bench=f"pkfs_d{d}_N1M", engine="xla",
+                 wall_ms=med(gx, ssmd, ysd, reps=3, outer=3) * 1e3)
+            emit(bench=f"pkfs_d{d}_N1M", engine="pallas",
+                 wall_ms=med(gp, ssmd, ysd) * 1e3)
+            del ssmd, ysd
+        except Exception as e:  # noqa: BLE001 — sweep records failures
+            emit(bench=f"crossover_d{d}", error=str(e)[:200])
+
     # ---- 4. d=6 accuracy vs CPU f64 truth ----------------------------------
     ssma, ysa = make(kern6, 65_536, seed=42)
     for name, f in (("xla", f_x), ("pallas", f_p)):

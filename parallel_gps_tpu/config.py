@@ -37,14 +37,15 @@ def set_pallas_lml(enabled: bool) -> None:
 
 
 # Largest state dimension the model layer auto-dispatches to the fused
-# Pallas kernels for (the kernels themselves support d <= 8 via
-# Schur-recursed in-kernel inverses, kalman/pallas_scan.py::_inv).  The
-# default stays at 3 pending the d=4..8 TPU timing/accuracy sign-off
-# (BASELINE.md round-3 notes — f32 roundoff at d > 3 sits at the
-# conditioning's few-significant-digit floor on BOTH engines); raise it
-# with ``set_fused_max_d(8)`` to run high-order RBF/Periodic kernels on
-# the fused path today.
-FUSED_MAX_D: int = 3
+# Pallas kernels for (the kernels support d <= 8 via Schur-recursed
+# in-kernel inverses, kalman/pallas_scan.py::_inv).  Default 8: the
+# round-3 TPU crossover table (BASELINE.md) measured the fused engine
+# 12-20x faster than the XLA time-last engine at d = 4/6/8 (N=1M LML:
+# 6.5 vs 99.8 ms, 16.0 vs 186 ms, 25.7 vs 502 ms) with both engines at
+# the same f32 conditioning floor (d=6 vs f64 truth: 3.4e-5 XLA,
+# 7.2e-5 fused).  ``set_fused_max_d(3)`` restores the conservative
+# XLA-for-d>3 dispatch.
+FUSED_MAX_D: int = 8
 
 
 def set_fused_max_d(d: int) -> None:

@@ -97,15 +97,15 @@ class StateSpaceGP:
 
     def _fused_engine_ok(self) -> bool:
         """Whether the fused Pallas kernels apply: parallel engine, TPU
-        backend, d <= ``config.FUSED_MAX_D`` (default 3), and not disabled
-        via ``config.set_pallas_lml(False)``.
+        backend, d <= ``config.FUSED_MAX_D`` (default 8, the kernels'
+        Schur-recursion ceiling), and not disabled via
+        ``config.set_pallas_lml(False)``.
 
-        The kernels themselves support d <= 8 (Schur-recursed in-kernel
-        inverses); the auto-dispatch ceiling stays at 3 pending the d=4..8
-        TPU timing/accuracy sign-off — f32 roundoff at d > 3 sits at the
-        conditioning's few-significant-digit floor on BOTH engines
-        (BASELINE.md round-3 notes).  ``config.set_fused_max_d(8)`` opts
-        high-order kernels onto the fused path."""
+        The round-3 TPU crossover table (BASELINE.md) measured the fused
+        engine 12-20x faster than the XLA time-last engine at d = 4/6/8
+        with both engines at the same f32 conditioning floor, so
+        auto-dispatch covers the full supported range;
+        ``config.set_fused_max_d(3)`` restores XLA for d > 3."""
         from parallel_gps_tpu import config
 
         return (

@@ -143,8 +143,9 @@ def test_single_observation():
 
 
 def test_fused_max_d_config_gates_dispatch(monkeypatch):
-    """config.set_fused_max_d raises the model layer's fused-kernel
-    auto-dispatch ceiling (d <= 3 by default, kernels support d <= 8)."""
+    """config.set_fused_max_d sets the model layer's fused-kernel
+    auto-dispatch ceiling (default 8 = the kernels' Schur ceiling; 3
+    restores the conservative XLA-for-d>3 dispatch)."""
     import jax
 
     from parallel_gps_tpu import config
@@ -160,6 +161,8 @@ def test_fused_max_d_config_gates_dispatch(monkeypatch):
     )
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert m3._fused_engine_ok()
+    assert m6._fused_engine_ok()  # d=6 <= default ceiling 8
+    monkeypatch.setattr(config, "FUSED_MAX_D", 3)
     assert not m6._fused_engine_ok()
     monkeypatch.setattr(config, "FUSED_MAX_D", 8)
     assert m6._fused_engine_ok()

@@ -78,6 +78,25 @@ def _sol_seconds(n: int, d: int, block: int = 1024, dtype_bytes: int = 4):
     return (t_hbm, "hbm") if t_hbm >= t_vpu else (t_vpu, "vpu")
 
 
+def _align_np(t, y, state_dim: int):
+    """Pad (t, y) in numpy to the strip kernels' time alignment (repeated
+    last time → dt=0 identity elements; NaN observations → masked), so
+    every device plane is born aligned and the kernels' pack stage copies
+    nothing — the model layer does the same (models/ssgp.py::_align_pad);
+    measured ~30% of LML and ~47% of pkfs wall at unaligned N=10M
+    (results/pad_ab.json)."""
+    from parallel_gps_tpu.kalman.pallas_scan import strip_align
+
+    a = strip_align(state_dim, t.dtype.itemsize)
+    T = t.shape[0]
+    Tp = -(-T // a) * a
+    if Tp == T or T < a:
+        return t, y
+    t_p = np.concatenate([t, np.full(Tp - T, t[-1], t.dtype)])
+    y_p = np.concatenate([y, np.full(Tp - T, np.nan, y.dtype)])
+    return t_p, y_p
+
+
 def _accelerator_alive(timeout_s: float) -> bool:
     """Probe device init in a subprocess: the tunneled-TPU PJRT init can hang
     indefinitely when the tunnel is down (it has no timeout of its own), which
@@ -131,6 +150,7 @@ def _extras(kernel_cls, dtype, on_cpu: bool) -> dict:
         rng = np.random.RandomState(seed)
         t = np.sort(rng.rand(T)).astype(np.float32)
         y = obs_noise(sinu(t), 0.1, seed).astype(np.float32)
+        t, y = _align_np(t, y, kern.state_dim)
         ssm = jax.jit(kern.get_ssm_tl)(
             jnp.asarray(t, dtype).reshape(-1, 1),
             jnp.asarray(0.1, dtype).reshape(1, 1),
@@ -203,12 +223,15 @@ def main():
     kernel = Matern32(variance=1.0, lengthscales=0.5)
     R = jnp.asarray(0.1, dtype).reshape(1, 1)
     # Time-last (LGSSMTL) layout: the TPU-native fast path — the whole
-    # filter+smoother pipeline runs with zero (T,d,d) relayouts.
+    # filter+smoother pipeline runs with zero (T,d,d) relayouts.  Inputs
+    # are born strip-aligned (identity-element tail) so the kernels' pack
+    # stage copies nothing.
+    t_al, y_al = _align_np(t, y, kernel.state_dim)
     ssm = jax.jit(lambda ts: kernel.get_ssm_tl(ts, R))(
-        jnp.asarray(t, dtype).reshape(-1, 1)
+        jnp.asarray(t_al, dtype).reshape(-1, 1)
     )
     jax.block_until_ready(ssm)
-    ys = jnp.asarray(y, dtype).reshape(-1, 1)
+    ys = jnp.asarray(y_al, dtype).reshape(-1, 1)
 
     # Fused Pallas engine on TPU (forward-only — exactly what this benchmark
     # measures); fall back to the XLA time-last engine elsewhere.

@@ -617,6 +617,23 @@ def pick_strip_block(d: int, itemsize: int = 4, vmem_budget: int = VMEM_BUDGET_B
     return block
 
 
+def strip_align(d: int, itemsize: int = 4) -> int:
+    """Time-axis alignment at which the strip kernels' input padding pass
+    becomes a no-op: ``N_STRIPS * pick_strip_block(d, itemsize)``.
+
+    The pack stage (``_strip_filter_prep``) end-pads every (d², T) plane to
+    this multiple with identity elements — a FULL copy of F, Q, y, and mask
+    when T is unaligned, which measured ~30% of LML and ~47% of pkfs wall
+    at N=10M on a v5e (results/pad_ab.json).  Callers that control where
+    the arrays are BORN (the model layer, benchmarks) should instead pad
+    ``ts``/``ys`` to this multiple up front — dt=0 steps discretize to
+    exact identity transitions (F=I, Q=0 in the cancellation-free form)
+    and NaN observations are masked out, so results at real positions are
+    bit-identical while every downstream plane is born aligned and the
+    kernels copy nothing."""
+    return N_STRIPS * pick_strip_block(d, itemsize)
+
+
 def _ident_rows_list(n, ident_rows, shape, dtype):
     return [
         jnp.ones(shape, dtype) if k in ident_rows else jnp.zeros(shape, dtype)

@@ -150,15 +150,22 @@ class StateSpaceGP:
         return _lml_jit(self, self._fused_engine_ok())
 
     def _lml_impl(self, use_pallas: bool) -> Array:
-        ssm = self._make_model(self.ts)
+        ts, ys = self.ts, self.ys
+        if use_pallas:
+            # Born-aligned inputs: pad ts/ys so the strip kernels' pack
+            # stage copies nothing (dt=0 ⇒ identity transitions, NaN ⇒
+            # masked — LML at real positions is unchanged).  Measured
+            # ~30% of LML wall at N=10M (kalman/pallas_scan.py::strip_align).
+            ts, ys = _align_pad(ts, ys, self.kernel.state_dim)
+        ssm = self._make_model(ts)
         if isinstance(ssm, LGSSMTL):
             from parallel_gps_tpu.kalman.timelast import lml_tl
 
-            return lml_tl(ssm, self.ys, use_pallas)
+            return lml_tl(ssm, ys, use_pallas)
         if self.parallel:
-            _, _, ell = pkf(ssm, self.ys, return_loglikelihood=True)
+            _, _, ell = pkf(ssm, ys, return_loglikelihood=True)
         else:
-            _, _, ell = kf(ssm, self.ys, return_loglikelihood=True)
+            _, _, ell = kf(ssm, ys, return_loglikelihood=True)
         return ell
 
     # Alias matching the reference method name (pssgp/model.py:113).
@@ -212,7 +219,13 @@ class StateSpaceGP:
         all_ts, (all_ys,), is_query = merge_sorted(
             self.ts[:, 0], Xsorted[:, 0], (self.ys,), (nan_ys,)
         )
-        ssm = self._make_model(all_ts[:, None])
+        all_ts = all_ts[:, None]
+        if use_pallas:
+            # Born-aligned inputs for the strip kernels (see _lml_impl);
+            # the q_idx gather below only reads real positions, so the
+            # padded tail never surfaces.
+            all_ts, all_ys = _align_pad(all_ts, all_ys, self.kernel.state_dim)
+        ssm = self._make_model(all_ts)
         if self.parallel:
             # Prediction takes no gradients, so the forward-only fused
             # Pallas engine is usable — round 1 left predict on the XLA
@@ -233,6 +246,29 @@ def _bucket_size(m: int, min_bucket: int = 16) -> int:
     if m <= min_bucket:
         return min_bucket
     return 1 << (m - 1).bit_length()
+
+
+def _align_pad(ts: Array, ys: Array, state_dim: int, align: int | None = None):
+    """End-pad (ts, ys) so the time axis is a multiple of the strip
+    kernels' alignment: repeated last time (dt=0 ⇒ exact identity
+    transitions) and NaN observations (masked out).  No-op when already
+    aligned or when T is below one alignment unit (small problems don't
+    pay the pack-copy cost this avoids — see pallas_scan.strip_align)."""
+    from parallel_gps_tpu.kalman.pallas_scan import strip_align
+
+    if align is None:
+        align = strip_align(state_dim, ts.dtype.itemsize)
+    T = ts.shape[0]
+    Tp = -(-T // align) * align
+    if Tp == T or T < align:
+        return ts, ys
+    ts_p = jnp.concatenate(
+        [ts, jnp.broadcast_to(ts[-1:], (Tp - T,) + ts.shape[1:])], axis=0
+    )
+    ys_p = jnp.concatenate(
+        [ys, jnp.full((Tp - T,) + ys.shape[1:], jnp.nan, ys.dtype)], axis=0
+    )
+    return ts_p, ys_p
 
 
 # Module-level jitted method bodies: StateSpaceGP is a flax.struct pytree, so

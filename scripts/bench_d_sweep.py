@@ -67,10 +67,20 @@ def main():
             ts.append((time.perf_counter() - t0) / reps)
         return min(ts)
 
-    def make(kern, T, seed=0):
+    def make(kern, T, seed=0, align=True):
         rng = np.random.RandomState(seed)
         t = np.sort(rng.rand(T)).astype(np.float32)
         y = obs_noise(sinu(t), 0.1, seed).astype(np.float32)
+        if align:
+            # Born strip-aligned (identity tail): the production layout
+            # (models/ssgp.py::_align_pad, bench.py::_align_np).
+            from parallel_gps_tpu.kalman.pallas_scan import strip_align
+
+            a = strip_align(kern.state_dim, 4)
+            Tp = -(-T // a) * a
+            if Tp != T and T >= a:
+                t = np.concatenate([t, np.full(Tp - T, t[-1], t.dtype)])
+                y = np.concatenate([y, np.full(Tp - T, np.nan, y.dtype)])
         ssm = kern.get_ssm_tl(
             jnp.asarray(t).reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1)
         )

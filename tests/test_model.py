@@ -142,6 +142,34 @@ def test_single_observation():
     np.testing.assert_allclose(float(mean[0, 0]), 1.0 / 1.1, rtol=1e-9)
 
 
+def test_align_pad_invariance():
+    """Strip-alignment padding (repeated last t ⇒ dt=0 identity elements,
+    NaN observations ⇒ masked) leaves LML and predictions at real
+    positions unchanged — the invariant that lets the model layer feed
+    the fused kernels born-aligned inputs (models/ssgp.py::_align_pad)."""
+    from parallel_gps_tpu.models.ssgp import _align_pad
+
+    rng = np.random.RandomState(3)
+    t = np.sort(rng.rand(100))
+    y = np.sin(2 * np.pi * t) + 0.1 * rng.randn(100)
+    model = pgt.StateSpaceGP.create(
+        (t, y), pgt.kernels.Matern32(1.0, 0.4), 0.1, parallel=True
+    )
+    ts_p, ys_p = _align_pad(model.ts, model.ys, 2, align=64)
+    assert ts_p.shape[0] == 128
+    padded = model.replace(ts=ts_p, ys=ys_p)
+
+    base = float(model.log_marginal_likelihood())
+    np.testing.assert_allclose(
+        float(padded.log_marginal_likelihood()), base, rtol=1e-12
+    )
+    xq = np.asarray([0.123, 0.5, 0.987])
+    m0, v0 = model.predict_f(xq)
+    m1, v1 = padded.predict_f(xq)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-9)
+
+
 def test_fused_max_d_config_gates_dispatch(monkeypatch):
     """config.set_fused_max_d sets the model layer's fused-kernel
     auto-dispatch ceiling (default 8 = the kernels' Schur ceiling; 3

@@ -708,27 +708,12 @@ def _strip_chunked_scan(rows, combine_rows, d, ident_rows, reverse, init):
     return out, carry
 
 
-def _strip_filter_scan_kernel(
-    scal_ref, f_ref, q_ref, y_ref, mask_ref, elem_out, totals_out, carry_ref, *, d
-):
-    """Pass 1: build filtering elements and scan each strip's block."""
-    import jax.experimental.pallas as pl
-
-    i = pl.program_id(0)
-    n = filt_rows(d)
+def _strip_filter_rows(scal_ref, f_ref, q_ref, y_ref, mask_ref, i, d):
+    """Shared element construction for the two filter passes: the filtering
+    rows for this block's tile, with the global-first special element gated
+    by the scal flag (off for time shards that do not own t=0)."""
     d2 = d * d
     S, Lb = f_ref.shape[1], f_ref.shape[2]
-    dtype = f_ref.dtype
-    ident_rows = tuple(k * d + k for k in range(d))
-
-    @pl.when(i == 0)
-    def _():
-        stacked = jnp.stack(
-            _ident_rows_list(n, ident_rows, (S, carry_ref.shape[2]), dtype),
-            axis=0,
-        )
-        carry_ref[:] = stacked
-
     F = [[f_ref[a * d + c] for c in range(d)] for a in range(d)]
     Q = [[q_ref[a * d + c] for c in range(d)] for a in range(d)]
     y = y_ref[0]  # (S, Lb)
@@ -737,10 +722,6 @@ def _strip_filter_scan_kernel(
     r = scal_ref[d2 + d]
     P0v = [[scal_ref[a * d + c] for c in range(d)] for a in range(d)]
 
-    # First element (global t=0 = strip 0, lane 0, block 0), where the
-    # y/mask tiles hold the series' first observation.  The scalar flag
-    # scal[d²+d+1] gates it off for time shards that do not own t=0
-    # (strip_filter_sharded under shard_map).
     first_here = jnp.logical_and(i == 0, scal_ref[d2 + d + 1] > 0.0)
     sub = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
@@ -748,18 +729,45 @@ def _strip_filter_scan_kernel(
         jnp.logical_and(sub == 0, lane == 0), jnp.full((S, Lb), first_here)
     )
     rows = _build_filtering_rows(F, Q, y, mask, h, r, P0v, is_first, d)
+    return rows, (F, Q, y, mask, h, r, P0v, is_first)
+
+
+def _strip_filter_scan_kernel(
+    scal_ref, f_ref, q_ref, y_ref, mask_ref, totals_out, carry_ref, *, d
+):
+    """Pass 1: build filtering elements and scan each strip's block —
+    emitting ONLY the per-strip running totals.  The scanned element
+    planes are deliberately not written: pass 2 rebuilds and re-scans them
+    with the strip prefix seeded into its carry, which trades one extra
+    in-VMEM scan for (3d²+2d) planes of HBM write+read traffic (the
+    dominant cost at large T — BASELINE.md round-3 attribution)."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    n = filt_rows(d)
+    dtype = f_ref.dtype
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.stack(
+            _ident_rows_list(
+                n, ident_rows, (f_ref.shape[1], carry_ref.shape[2]), dtype
+            ),
+            axis=0,
+        )
+
+    rows, _ = _strip_filter_rows(scal_ref, f_ref, q_ref, y_ref, mask_ref, i, d)
     init = [carry_ref[k, :, 0:1] for k in range(n)]
-    out_rows, edge = _strip_chunked_scan(
+    _, edge = _strip_chunked_scan(
         rows, _filt_combine_rows, d, ident_rows, False, init
     )
-    elem_out[:] = jnp.stack(out_rows, axis=0)  # (n, S, Lb)
     carry_ref[:] = jnp.broadcast_to(jnp.stack(edge, axis=0), carry_ref.shape)
     totals_out[:] = carry_ref[:]
 
 
 def _strip_filter_apply_kernel(
     scal_ref,
-    elem_ref,
     pref_ref,
     f_ref,
     q_ref,
@@ -773,7 +781,17 @@ def _strip_filter_apply_kernel(
     *,
     d,
 ):
-    """Pass 2: fold strip prefixes into elements; emit moments + loglik."""
+    """Pass 2 (recompute form): rebuild the filtering elements and re-scan
+    them with the strip prefix seeded into the carry, emitting filtered
+    moments + streaming log-likelihood.  The element planes from pass 1
+    are never stored to HBM: rebuilding costs one extra in-VMEM scan of
+    arithmetic the kernels have to spare (the measured limiter is HBM
+    traffic, not combine count — BASELINE.md round-3 attribution), and
+    saves (3d²+2d) planes of write+read.
+
+    Seeding the carry with the full strip-prefix ELEMENT makes the scanned
+    rows prefix-included directly (prefix ∘ within-strip scan ≡ scan seeded
+    by prefix, by associativity), so no separate fold pass exists."""
     import jax.experimental.pallas as pl
 
     i = pl.program_id(0)
@@ -782,57 +800,45 @@ def _strip_filter_apply_kernel(
     d2 = d * d
     S, Lb = f_ref.shape[1], f_ref.shape[2]
     dtype = f_ref.dtype
+    ident_rows = tuple(k * d + k for k in range(d))
 
     @pl.when(i == 0)
     def _():
-        carry_ref[:] = jnp.zeros_like(carry_ref)
+        carry_ref[:] = pref_ref[:]
         acc_ref[0] = jnp.zeros((), dtype)
 
-    X = [elem_ref[k] for k in range(n)]
-    pref = [
-        jnp.broadcast_to(pref_ref[k, :, 0:1], (S, Lb)) for k in range(n)
-    ]
-    out_rows = _filt_combine_rows(pref, X, d)
+    rows, (F, Q, y, mask, h, r, P0v, is_first) = _strip_filter_rows(
+        scal_ref, f_ref, q_ref, y_ref, mask_ref, i, d
+    )
+    init = [carry_ref[k, :, 0:1] for k in range(n)]
+    out_rows, edge = _strip_chunked_scan(
+        rows, _filt_combine_rows, d, ident_rows, False, init
+    )
     b_rows = out_rows[d2 : d2 + d]
     c_rows = out_rows[d2 + d : 2 * d2 + d]
     b_out[:] = jnp.stack(b_rows, axis=0)
     c_out[:] = jnp.stack(c_rows, axis=0)
 
     # Streaming log-likelihood (reference parallel.py:135-151): previous
-    # moments are a 1-lane shift; lane 0 comes from the previous block's
-    # final moments (carry) or, at block 0, the strip prefix itself (the
-    # filtered moment at the end of the previous strip).
-    F = [[f_ref[a * d + c] for c in range(d)] for a in range(d)]
-    Q = [[q_ref[a * d + c] for c in range(d)] for a in range(d)]
-    y = y_ref[0]
-    mask = mask_ref[0]
-    h = [scal_ref[d2 + k] for k in range(d)]
-    r = scal_ref[d2 + d]
-    P0v = [[scal_ref[a * d + c] for c in range(d)] for a in range(d)]
-
-    first_here = jnp.logical_and(i == 0, scal_ref[d2 + d + 1] > 0.0)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 0)
+    # moments are a 1-lane shift; lane 0 comes from the carry — at block 0
+    # the carry was just seeded with the strip prefix (the filtered moment
+    # at the end of the previous strip), at later blocks it holds the
+    # previous block's final prefix-included element.
     lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
     lane0 = lane == 0
-    is_first = jnp.logical_and(
-        jnp.logical_and(sub == 0, lane0), jnp.full((S, Lb), first_here)
-    )
 
-    def prev_col(k_carry, k_pref):
-        blockward = carry_ref[k_carry, :, 0:1]
-        stripward = pref_ref[k_pref, :, 0:1]
-        col = jnp.where(i == 0, stripward, blockward)  # (S, 1)
-        return jnp.broadcast_to(col, (S, Lb))
+    def prev_col(k):
+        return jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb))
 
     mprev = [
-        jnp.where(lane0, prev_col(a, d2 + a), _roll(b_rows[a], 1, False))
+        jnp.where(lane0, prev_col(d2 + a), _roll(b_rows[a], 1, False))
         for a in range(d)
     ]
     Pprev = [
         [
             jnp.where(
                 lane0,
-                prev_col(d + a * d + c, d2 + d + a * d + c),
+                prev_col(d2 + d + a * d + c),
                 _roll(c_rows[a * d + c], 1, False),
             )
             for c in range(d)
@@ -860,10 +866,9 @@ def _strip_filter_apply_kernel(
     logp = -0.5 * (diff * diff / var + jnp.log(var) + math.log(2.0 * math.pi))
     acc_ref[0] = acc_ref[0] + jnp.sum(jnp.where(mask > 0, logp, 0.0))
 
-    carry_cols = jnp.concatenate(
-        [jnp.stack(b_rows, axis=0), jnp.stack(c_rows, axis=0)], axis=0
-    )[:, :, Lb - 1 : Lb]
-    carry_ref[:] = jnp.broadcast_to(carry_cols, carry_ref.shape)
+    # Carry the full prefix-included element forward (read by the
+    # likelihood's lane-0 path ABOVE, so this write must stay last).
+    carry_ref[:] = jnp.broadcast_to(jnp.stack(edge, axis=0), carry_ref.shape)
 
     @pl.when(i == nB - 1)
     def _():
@@ -902,16 +907,6 @@ def _strip_exclusive_prefixes(totals, d, combine_rows, ident_rows, reverse, init
             prefs[s] = combine_rows(prefs[s + 1], col(s + 1), d)
     cols = [jnp.concatenate(p, axis=0) for p in prefs]  # each (n, 1)
     return jnp.concatenate(cols, axis=1)  # (n, S)
-
-
-def _element_at(prefixes, elems, d, combine_rows, s0, c0):
-    """The running scan element at strip s0, column c0: incoming strip
-    prefix combined with the within-strip scanned element — used to read a
-    shard's total off the pass-1 outputs at the last (first, reverse) REAL
-    position, so identity padding never contaminates cross-shard totals."""
-    pref = [prefixes[k : k + 1, s0 : s0 + 1] for k in range(prefixes.shape[0])]
-    col = [elems[k : k + 1, s0, c0 : c0 + 1] for k in range(elems.shape[0])]
-    return jnp.concatenate(combine_rows(pref, col, d), axis=0)  # (n, 1)
 
 
 def _strip_filter_prep(Fs_tl, Qs_tl, P0, H, R, observations, block, first_flag):
@@ -958,7 +953,8 @@ def _strip_filter_prep(Fs_tl, Qs_tl, P0, H, R, observations, block, first_flag):
 
 
 def _strip_filter_pass1(scal, F_st, Q_st, y_st, m_st, d, block, interpret):
-    """Pass 1 pallas call: per-strip carry scan → (elems, strip totals)."""
+    """Pass 1 pallas call: per-strip carry scan → strip totals only (the
+    element planes are rebuilt in pass 2 instead of stored)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -981,23 +977,20 @@ def _strip_filter_pass1(scal, F_st, Q_st, y_st, m_st, d, block, interpret):
             mk(1, fwd),
             mk(1, fwd),
         ],
-        out_specs=(
-            mk(n, fwd),
-            pl.BlockSpec((n, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (n, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, S, W), dtype),
-            jax.ShapeDtypeStruct((n, S, 128), dtype),
-        ),
+        out_shape=jax.ShapeDtypeStruct((n, S, 128), dtype),
         scratch_shapes=[pltpu.VMEM((n, S, 128), dtype)],
         interpret=interpret,
     )(scal, F_st, Q_st, y_st, m_st)
 
 
 def _strip_filter_pass2(
-    scal, elems, prefixes, F_st, Q_st, y_st, m_st, d, block, interpret
+    scal, prefixes, F_st, Q_st, y_st, m_st, d, block, interpret
 ):
-    """Pass 2 pallas call: fold (n, S) strip prefixes in, emit moments + ell."""
+    """Pass 2 pallas call: rebuild + re-scan with strip prefixes seeded,
+    emit moments + ell."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1016,7 +1009,6 @@ def _strip_filter_pass2(
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            mk(n, fwd),
             pl.BlockSpec((n, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             mk(d2, fwd),
             mk(d2, fwd),
@@ -1034,11 +1026,11 @@ def _strip_filter_pass2(
             jax.ShapeDtypeStruct((1,), dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((d + d2, S, 128), dtype),
+            pltpu.VMEM((n, S, 128), dtype),
             pltpu.SMEM((1,), dtype),
         ],
         interpret=interpret,
-    )(scal, elems, pref_v, F_st, Q_st, y_st, m_st)
+    )(scal, pref_v, F_st, Q_st, y_st, m_st)
 
 
 def strip_filter(
@@ -1061,14 +1053,14 @@ def strip_filter(
     scal, F_st, Q_st, y_st, m_st, W, Tp = _strip_filter_prep(
         Fs_tl, Qs_tl, P0, H, R, observations, block, 1.0
     )
-    elems, totals = _strip_filter_pass1(
+    totals = _strip_filter_pass1(
         scal, F_st, Q_st, y_st, m_st, d, block, interpret
     )
     prefixes = _strip_exclusive_prefixes(
         totals[:, :, 0], d, _filt_combine_rows, ident_rows, reverse=False
     )
     b_st, c_st, ell = _strip_filter_pass2(
-        scal, elems, prefixes, F_st, Q_st, y_st, m_st, d, block, interpret
+        scal, prefixes, F_st, Q_st, y_st, m_st, d, block, interpret
     )
     b_tl = b_st.reshape(d, Tp)[:, :T]
     C_tl = c_st.reshape(d2, Tp)[:, :T].reshape(d, d, T)
@@ -1112,16 +1104,24 @@ def strip_filter_sharded(
     scal, F_st, Q_st, y_st, m_st, W, Tp = _strip_filter_prep(
         Fs_tl, Qs_tl, P0, H, R, observations, block, first_flag
     )
-    elems, totals = _strip_filter_pass1(
+    totals = _strip_filter_pass1(
         scal, F_st, Q_st, y_st, m_st, d, block, interpret
     )
     local_pref = _strip_exclusive_prefixes(
         totals[:, :, 0], d, _filt_combine_rows, ident_rows, reverse=False
     )
-    # Shard total read at the last REAL element (end padding is exactly the
-    # identity for the filter, but this stays correct for any padding).
-    s1, c1 = divmod(T - 1, W)
-    shard_total = _element_at(local_pref, elems, d, _filt_combine_rows, s1, c1)
+    # Shard total: the last strip's incoming prefix combined with its total.
+    # The pack stage's end padding is exactly the identity for the filter
+    # (F=I, Q=0, masked y), so the trailing padded lanes cannot contaminate
+    # the total — this equals the running element at the last REAL position.
+    shard_total = jnp.concatenate(
+        _filt_combine_rows(
+            [local_pref[k : k + 1, S - 1 : S] for k in range(n)],
+            [totals[k : k + 1, S - 1, 0:1] for k in range(n)],
+            d,
+        ),
+        axis=0,
+    )  # (n, 1)
     gathered = jax.lax.all_gather(shard_total[:, 0], axis_name, axis=1)  # (n, P)
     shard_prefs = _strip_exclusive_prefixes(
         gathered, d, _filt_combine_rows, ident_rows, reverse=False
@@ -1136,7 +1136,7 @@ def strip_filter_sharded(
         init=my_pref,
     )
     b_st, c_st, ell = _strip_filter_pass2(
-        scal, elems, prefixes, F_st, Q_st, y_st, m_st, d, block, interpret
+        scal, prefixes, F_st, Q_st, y_st, m_st, d, block, interpret
     )
     b_tl = b_st.reshape(d, Tp)[:, :T]
     C_tl = c_st.reshape(d2, Tp)[:, :T].reshape(d, d, T)
@@ -1624,32 +1624,24 @@ def strip_smoother_op(block: int = DEFAULT_STRIP_BLOCK, interpret: bool = False)
     return op
 
 
-def _strip_smoother_scan_kernel(
-    scal_ref, f_ref, q_ref, b_ref, c_ref, fb_ref, qb_ref, elem_out, totals_out,
-    carry_ref, *, d
+def _strip_smoother_rows(
+    scal_ref, f_ref, q_ref, b_ref, c_ref, fb_ref, qb_ref, carry_ref, i, d, pad
 ):
-    """Pass 1 (reverse): build smoothing elements in-VMEM and scan blocks
-    right-to-left per strip.  Cross-block F/Q columns ride the carry; the
-    cross-strip boundary columns come from fb/qb (precomputed outside).
-    ``scal_ref[0]`` gates the global-last special element off for time
-    shards that do not own t=T−1 (strip_smoother_sharded)."""
+    """Shared smoothing-element construction for the two smoother passes:
+    cross-block F/Q columns ride the carry stash (rows n..n+2d²); the
+    cross-strip boundary columns come from fb/qb.  ``scal_ref[0]`` gates
+    the global-last special element off for time shards that do not own
+    t=T−1.  Front-pad positions (static ``pad`` > 0) are forced to the
+    identity element so strip totals stay pure-real — the pad/real
+    boundary element is otherwise NOT the identity (it reads the first
+    real F/Q column), which would contaminate cross-shard totals."""
     import jax.experimental.pallas as pl
 
-    i = pl.program_id(0)
     n = smooth_rows(d)
     d2 = d * d
     S, Lb = f_ref.shape[1], f_ref.shape[2]
     dtype = f_ref.dtype
     ident_rows = tuple(k * d + k for k in range(d))
-
-    @pl.when(i == 0)
-    def _():
-        pre = jnp.stack(
-            _ident_rows_list(n, ident_rows, (S, carry_ref.shape[2]), dtype),
-            axis=0,
-        )
-        carry_ref[0:n] = pre
-        carry_ref[n:] = jnp.zeros_like(carry_ref[n:])
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 0)
@@ -1676,11 +1668,57 @@ def _strip_smoother_scan_kernel(
         jnp.full((S, Lb), last_here),
     )
     rows = _build_smoothing_rows(Fn, Qn, m, P, is_global_last, d)
+    if pad:
+        nB = pl.num_programs(0)
+        W = nB * Lb
+        s0, c0 = divmod(pad, W)
+        tile_start = (nB - 1 - i) * Lb  # reverse index map
+        lane_g = tile_start + lane
+        is_pad = jnp.logical_or(
+            sub < s0, jnp.logical_and(sub == s0, lane_g < c0)
+        )
+        idents = _ident_rows_list(n, ident_rows, (S, Lb), dtype)
+        rows = [
+            jnp.where(is_pad, idr, r) for idr, r in zip(idents, rows)
+        ]
+    return rows
+
+
+def _strip_smoother_scan_kernel(
+    scal_ref, f_ref, q_ref, b_ref, c_ref, fb_ref, qb_ref, totals_out,
+    carry_ref, *, d, pad
+):
+    """Pass 1 (reverse): build smoothing elements in-VMEM and scan blocks
+    right-to-left per strip, emitting ONLY the per-strip totals — pass 2
+    rebuilds and re-scans with the strip suffix seeded (same traffic trade
+    as the filter: one extra in-VMEM scan for (2d²+d) planes of HBM
+    write+read)."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    n = smooth_rows(d)
+    d2 = d * d
+    S = f_ref.shape[1]
+    dtype = f_ref.dtype
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    @pl.when(i == 0)
+    def _():
+        pre = jnp.stack(
+            _ident_rows_list(n, ident_rows, (S, carry_ref.shape[2]), dtype),
+            axis=0,
+        )
+        carry_ref[0:n] = pre
+        carry_ref[n:] = jnp.zeros_like(carry_ref[n:])
+
+    rows = _strip_smoother_rows(
+        scal_ref, f_ref, q_ref, b_ref, c_ref, fb_ref, qb_ref, carry_ref, i,
+        d, pad
+    )
     init = [carry_ref[k, :, 0:1] for k in range(n)]
-    out_rows, edge = _strip_chunked_scan(
+    _, edge = _strip_chunked_scan(
         rows, _smooth_combine_rows, d, ident_rows, True, init
     )
-    elem_out[:] = jnp.stack(out_rows, axis=0)
     carry_ref[0:n] = jnp.broadcast_to(
         jnp.stack(edge, axis=0), (n,) + carry_ref.shape[1:]
     )
@@ -1693,17 +1731,44 @@ def _strip_smoother_scan_kernel(
     totals_out[:] = carry_ref[0:n]
 
 
-def _strip_smoother_apply_kernel(elem_ref, pref_ref, g_out, l_out, *, d):
+def _strip_smoother_apply_kernel(
+    scal_ref, pref_ref, f_ref, q_ref, b_ref, c_ref, fb_ref, qb_ref,
+    g_out, l_out, carry_ref, *, d, pad
+):
+    """Pass 2 (recompute form): rebuild the smoothing elements and re-scan
+    right-to-left with the strip suffix seeded into the carry, emitting the
+    smoothed moments directly (prefix ∘ scan ≡ scan seeded by prefix)."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
     n = smooth_rows(d)
     d2 = d * d
-    S, Lb = elem_ref.shape[1], elem_ref.shape[2]
-    X = [elem_ref[k] for k in range(n)]
-    pref = [
-        jnp.broadcast_to(pref_ref[k, :, 0:1], (S, Lb)) for k in range(n)
-    ]
-    out_rows = _smooth_combine_rows(pref, X, d)
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[0:n] = pref_ref[:]
+        carry_ref[n:] = jnp.zeros_like(carry_ref[n:])
+
+    rows = _strip_smoother_rows(
+        scal_ref, f_ref, q_ref, b_ref, c_ref, fb_ref, qb_ref, carry_ref, i,
+        d, pad
+    )
+    init = [carry_ref[k, :, 0:1] for k in range(n)]
+    out_rows, edge = _strip_chunked_scan(
+        rows, _smooth_combine_rows, d, ident_rows, True, init
+    )
     g_out[:] = jnp.stack(out_rows[d2 : d2 + d], axis=0)
     l_out[:] = jnp.stack(out_rows[d2 + d :], axis=0)
+    carry_ref[0:n] = jnp.broadcast_to(
+        jnp.stack(edge, axis=0), (n,) + carry_ref.shape[1:]
+    )
+    carry_ref[n : n + d2] = jnp.broadcast_to(
+        f_ref[:][:, :, 0:1], (d2,) + carry_ref.shape[1:]
+    )
+    carry_ref[n + d2 :] = jnp.broadcast_to(
+        q_ref[:][:, :, 0:1], (d2,) + carry_ref.shape[1:]
+    )
 
 
 def _strip_smoother_prep(Fs_tl, Qs_tl, b_tl, C_tl, block, fb_last, qb_last):
@@ -1747,7 +1812,7 @@ def _strip_smoother_prep(Fs_tl, Qs_tl, b_tl, C_tl, block, fb_last, qb_last):
 
 
 def _strip_smoother_pass1(
-    scal, F_st, Q_st, b_st, c_st, fb_v, qb_v, d, block, interpret
+    scal, F_st, Q_st, b_st, c_st, fb_v, qb_v, d, block, interpret, pad
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1765,7 +1830,7 @@ def _strip_smoother_pass1(
         (nrows, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        partial(_strip_smoother_scan_kernel, d=d),
+        partial(_strip_smoother_scan_kernel, d=d, pad=pad),
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1776,24 +1841,24 @@ def _strip_smoother_pass1(
             cst(d2),
             cst(d2),
         ],
-        out_specs=(mk(n, rev), cst(n)),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, S, W), dtype),
-            jax.ShapeDtypeStruct((n, S, 128), dtype),
-        ),
+        out_specs=cst(n),
+        out_shape=jax.ShapeDtypeStruct((n, S, 128), dtype),
         scratch_shapes=[pltpu.VMEM((n + 2 * d2, S, 128), dtype)],
         interpret=interpret,
     )(scal, F_st, Q_st, b_st, c_st, fb_v, qb_v)
 
 
-def _strip_smoother_pass2(elems, prefixes, d, block, interpret):
+def _strip_smoother_pass2(
+    scal, prefixes, F_st, Q_st, b_st, c_st, fb_v, qb_v, d, block, interpret,
+    pad,
+):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     d2 = d * d
     n = smooth_rows(d)
-    S, W = elems.shape[1], elems.shape[2]
-    dtype = elems.dtype
+    S, W = F_st.shape[1], F_st.shape[2]
+    dtype = F_st.dtype
     B = W // block
     pref_v = jnp.broadcast_to(prefixes[:, :, None], (n, S, 128))
     rev = lambda i: (0, 0, B - 1 - i)  # noqa: E731
@@ -1804,16 +1869,26 @@ def _strip_smoother_pass2(elems, prefixes, d, block, interpret):
         (nrows, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        partial(_strip_smoother_apply_kernel, d=d),
+        partial(_strip_smoother_apply_kernel, d=d, pad=pad),
         grid=(B,),
-        in_specs=[mk(n, rev), cst(n)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            cst(n),
+            mk(d2, rev),
+            mk(d2, rev),
+            mk(d, rev),
+            mk(d2, rev),
+            cst(d2),
+            cst(d2),
+        ],
         out_specs=(mk(d, rev), mk(d2, rev)),
         out_shape=(
             jax.ShapeDtypeStruct((d, S, W), dtype),
             jax.ShapeDtypeStruct((d2, S, W), dtype),
         ),
+        scratch_shapes=[pltpu.VMEM((n + 2 * d2, S, 128), dtype)],
         interpret=interpret,
-    )(elems, pref_v)
+    )(scal, pref_v, F_st, Q_st, b_st, c_st, fb_v, qb_v)
 
 
 def strip_smoother(
@@ -1836,13 +1911,16 @@ def strip_smoother(
         Fs_tl, Qs_tl, b_tl, C_tl, block, eye_col, jnp.zeros((d2,), dtype)
     )
     scal = jnp.ones((1,), dtype)  # owns the global last element
-    elems, totals = _strip_smoother_pass1(
-        scal, F_st, Q_st, b_st, c_st, fb_v, qb_v, d, block, interpret
+    totals = _strip_smoother_pass1(
+        scal, F_st, Q_st, b_st, c_st, fb_v, qb_v, d, block, interpret, pad
     )
     prefixes = _strip_exclusive_prefixes(
         totals[:, :, 0], d, _smooth_combine_rows, ident_rows, reverse=True
     )
-    g_st, l_st = _strip_smoother_pass2(elems, prefixes, d, block, interpret)
+    g_st, l_st = _strip_smoother_pass2(
+        scal, prefixes, F_st, Q_st, b_st, c_st, fb_v, qb_v, d, block,
+        interpret, pad,
+    )
     g_tl = g_st.reshape(d, Tp)[:, pad:]
     L_tl = l_st.reshape(d2, Tp)[:, pad:].reshape(d, d, T)
     return g_tl, L_tl
@@ -1883,19 +1961,24 @@ def strip_smoother_sharded(
         Fs_tl, Qs_tl, b_tl, C_tl, block, fb_last, qb_last
     )
     scal = last_flag.reshape(1)
-    elems, totals = _strip_smoother_pass1(
-        scal, F_st, Q_st, b_st, c_st, fb_v, qb_v, d, block, interpret
+    totals = _strip_smoother_pass1(
+        scal, F_st, Q_st, b_st, c_st, fb_v, qb_v, d, block, interpret, pad
     )
     local_pref = _strip_exclusive_prefixes(
         totals[:, :, 0], d, _smooth_combine_rows, ident_rows, reverse=True
     )
-    # Shard suffix-total read at the first REAL element: front padding can
-    # span whole strips and its boundary element is NOT the identity, so the
-    # raw strip-0 total must never feed the cross-shard combine.
-    s0, c0 = divmod(pad, W)
-    shard_total = _element_at(
-        local_pref, elems, d, _smooth_combine_rows, s0, c0
-    )
+    # Shard suffix-total: strip 0's incoming suffix combined with its total.
+    # Front-pad positions are forced to the identity element in-kernel
+    # (_strip_smoother_rows), so the raw totals are pure-real and this
+    # equals the running element at the first REAL position.
+    shard_total = jnp.concatenate(
+        _smooth_combine_rows(
+            [local_pref[k : k + 1, 0:1] for k in range(n)],
+            [totals[k : k + 1, 0, 0:1] for k in range(n)],
+            d,
+        ),
+        axis=0,
+    )  # (n, 1)
     gathered = jax.lax.all_gather(shard_total[:, 0], axis_name, axis=1)
     shard_prefs = _strip_exclusive_prefixes(
         gathered, d, _smooth_combine_rows, ident_rows, reverse=True
@@ -1909,7 +1992,10 @@ def strip_smoother_sharded(
         reverse=True,
         init=my_pref,
     )
-    g_st, l_st = _strip_smoother_pass2(elems, prefixes, d, block, interpret)
+    g_st, l_st = _strip_smoother_pass2(
+        scal, prefixes, F_st, Q_st, b_st, c_st, fb_v, qb_v, d, block,
+        interpret, pad,
+    )
     g_tl = g_st.reshape(d, Tp)[:, pad:]
     L_tl = l_st.reshape(d2, Tp)[:, pad:].reshape(d, d, T)
     return g_tl, L_tl

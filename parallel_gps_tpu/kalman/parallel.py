@@ -81,22 +81,26 @@ def make_filtering_elements(
     T = Fs.shape[0]
     m0 = jnp.zeros((d,), dtype)
 
-    ys = observations.reshape(T, 1)
-    mask = jnp.logical_not(jnp.isnan(ys[:, 0]))  # (T,)
-    y = jnp.where(mask[:, None], jnp.nan_to_num(ys), 0.0)  # (T, 1)
+    # Written for general m-dim observations (H (m, d), R (m, m), ys (T, m))
+    # with (m, m) solves exactly as the reference algebra is stated
+    # (pssgp/kalman/parallel.py:26-33,56-72); every reference experiment and
+    # the TL/Pallas fast paths use m = 1 (see types.LGSSM).  A step with ANY
+    # NaN component is treated as fully missing.
+    ys = observations.reshape(T, H.shape[0])
+    mask = jnp.logical_not(jnp.any(jnp.isnan(ys), axis=-1))  # (T,)
+    y = jnp.where(mask[:, None], jnp.nan_to_num(ys), 0.0)  # (T, m)
 
     # --- generic elements, all steps at once -------------------------------
-    HQ = H[None] @ Qs  # (T, 1, d)
-    S = HQ @ H.T + R  # (T, 1, 1) innovation, observation dim is 1
-    Sinv = 1.0 / S
-    Kt = Sinv * HQ  # (T, 1, d) == S⁻¹ H Q
-    HF = H[None] @ Fs  # (T, 1, d)
+    HQ = H[None] @ Qs  # (T, m, d)
+    S = HQ @ H.T + R  # (T, m, m) innovation covariance
+    Kt = solve_small(S, HQ)  # (T, m, d) == S⁻¹ H Q
+    HF = H[None] @ Fs  # (T, m, d)
 
     A_ok = Fs - jnp.swapaxes(Kt, -1, -2) @ HF  # (I - Kᵀ H) F
     b_ok = _mv(jnp.swapaxes(Kt, -1, -2), y)  # (T, d)
     C_ok = Qs - jnp.swapaxes(Kt, -1, -2) @ HQ
-    eta_ok = _mv(jnp.swapaxes(HF, -1, -2), Sinv[..., 0] * y)  # (T, d)
-    J_ok = jnp.swapaxes(HF, -1, -2) @ (Sinv * HF)  # (T, d, d)
+    eta_ok = _mv(jnp.swapaxes(HF, -1, -2), solve_small(S, y[..., None])[..., 0])
+    J_ok = jnp.swapaxes(HF, -1, -2) @ solve_small(S, HF)  # (T, d, d)
 
     # NaN (missing-observation) variant: pure prediction
     # (reference: parallel.py:46-53).
@@ -110,14 +114,14 @@ def make_filtering_elements(
 
     # --- first element: filter step against (m0, P0) -----------------------
     # (reference: parallel.py:13-43)
-    S1 = H @ P0 @ H.T + R  # (1, 1)
-    K1t = (1.0 / S1) * (H @ P0)  # (1, d)
+    S1 = H @ P0 @ H.T + R  # (m, m)
+    K1t = solve_small(S1, H @ P0)  # (m, d)
     b0_ok = m0 + _mv(K1t.T, y[0] - H @ m0)
     C0_ok = P0 - K1t.T @ S1 @ K1t
     S0 = H @ Qs[0] @ H.T + R
     HF0 = H @ Fs[0]
-    eta0_ok = (HF0.T @ ((1.0 / S0) @ y[0][:, None]))[:, 0]
-    J0_ok = HF0.T @ ((1.0 / S0) * HF0)
+    eta0_ok = (HF0.T @ solve_small(S0, y[0][:, None]))[:, 0]
+    J0_ok = HF0.T @ solve_small(S0, HF0)
 
     ok0 = mask[0]
     A0 = jnp.zeros((d, d), dtype)
@@ -171,6 +175,16 @@ def filtering_operator(
 
 
 def _use_timelast(lgssm: LGSSM, engine: str) -> bool:
+    if lgssm.H.shape[0] > 1:
+        # Multi-dim observations (m > 1): only the generic engine carries
+        # the (m, m)-solve algebra; the TL/Pallas fast paths are scalar-
+        # observation specialized (see types.LGSSM).
+        if engine in ("timelast", "pallas"):
+            raise ValueError(
+                f"engine={engine!r} supports scalar observations only"
+                f" (H has {lgssm.H.shape[0]} rows); use engine='generic'"
+            )
+        return False
     if engine == "timelast":
         return True
     if engine == "generic":
@@ -243,6 +257,11 @@ def pkf(
         b_tl, C_tl = out
         return jnp.moveaxis(b_tl, -1, 0), jnp.moveaxis(C_tl, -1, 0)
     if engine == "pallas":
+        if lgssm.H.shape[0] > 1:
+            raise ValueError(
+                "engine='pallas' supports scalar observations only"
+                f" (H has {lgssm.H.shape[0]} rows); use engine='generic'"
+            )
         from parallel_gps_tpu.kalman.timelast import pkf_pallas
 
         return pkf_pallas(lgssm, observations, return_loglikelihood)
@@ -265,8 +284,8 @@ def pkf(
         return fms, fPs
 
     # Post-hoc vectorized log-likelihood (reference: parallel.py:135-151).
-    ys = observations.reshape(-1, 1)
-    mask = jnp.logical_not(jnp.isnan(ys[:, 0]))
+    ys = observations.reshape(-1, H.shape[0])
+    mask = jnp.logical_not(jnp.any(jnp.isnan(ys), axis=-1))
     y = jnp.where(mask[:, None], jnp.nan_to_num(ys), 0.0)
 
     prev_ms = jnp.concatenate([m0[None], fms[:-1]], axis=0)

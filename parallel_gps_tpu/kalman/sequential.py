@@ -36,8 +36,13 @@ def _filter_all(lgssm: LGSSM, observations: Array) -> _FilterResult:
     d = P0.shape[0]
     m0 = jnp.zeros((d,), dtype)
 
-    ys = observations.reshape(-1, 1)
-    mask = jnp.logical_not(jnp.isnan(ys[:, 0]))
+    # Observations are (T,) / (T, 1) scalars in every reference experiment,
+    # but the textbook recursions below are written for general m-dim
+    # observations (H (m, d), R (m, m), ys (T, m)) like the reference's
+    # (pssgp/kalman/sequential.py:26-32).  A step with ANY NaN component is
+    # treated as fully missing (the reference only ever encodes scalar NaNs).
+    ys = observations.reshape(Fs.shape[0], H.shape[0])
+    mask = jnp.logical_not(jnp.any(jnp.isnan(ys), axis=-1))
     ys_safe = jnp.where(mask[:, None], jnp.nan_to_num(ys), 0.0)
 
     def body(carry, inp):
@@ -47,7 +52,7 @@ def _filter_all(lgssm: LGSSM, observations: Array) -> _FilterResult:
         mp = F @ m
         Pp = symmetrize(F @ P @ F.T + Q)
 
-        S = H @ Pp @ H.T + R  # (1, 1)
+        S = H @ Pp @ H.T + R  # (m, m)
         yp = H @ mp  # (1,)
         ell_t = mvn_logpdf(y, yp, S)
         Kt = cho_solve_psd(S, H @ Pp)  # (1, d)

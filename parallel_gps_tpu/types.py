@@ -21,12 +21,21 @@ class LGSSM(NamedTuple):
 
     The initial mean is implicitly zero (reference: pssgp/kalman/sequential.py:14).
 
+    Observation dimensionality: every reference experiment observes a SCALAR
+    per step (H is a single row — pssgp/kernels/base.py, all kernels emit
+    ``H (1, d)``), and the TPU fast paths (the time-last engine and the fused
+    Pallas kernels) are specialized to that case.  The sequential and generic
+    parallel engines accept general ``H (m, d)`` / ``R (m, m)`` /
+    ``ys (T, m)`` with (m, m) solves, exactly as the reference algebra is
+    written (pssgp/kalman/parallel.py:26-33); pass ``engine='generic'`` for
+    m > 1.  A step with ANY NaN component is treated as fully missing.
+
     Attributes:
       P0: (d, d) initial state covariance (stationary covariance of the SDE).
       Fs: (T, d, d) per-step transition matrices ``expm(dt_k * F)``.
       Qs: (T, d, d) per-step process-noise covariances.
-      H:  (1, d) shared observation row.
-      R:  (1, 1) observation-noise covariance.
+      H:  (m, d) shared observation matrix (m = 1 in all reference protocols).
+      R:  (m, m) observation-noise covariance.
     """
 
     P0: Array

@@ -708,6 +708,37 @@ def _strip_chunked_scan(rows, combine_rows, d, ident_rows, reverse, init):
     return out, carry
 
 
+def _strip_block_total(rows, combine_rows, d, reverse, init):
+    """Per-strip running TOTAL of an (S, Lb) block of elements — the pass-1
+    primitive.  Totals need no intra-block scan: each 128-lane chunk is
+    folded with UNMASKED circular roll-rounds (the suffix-window fold — the
+    total lane's combine chain never reads a wrapped lane, so the per-round
+    select-with-identity of the scan drops out), and the chunk totals chain
+    through a 1-lane carry column instead of a full-width prefix fold.
+    ~35% fewer vector ops than scanning the block (lane COMPACTION — true
+    pairwise-halving reduction — does not lower on this Mosaic toolchain:
+    strided slices/minor-dim splits are rejected, so log2(128) full-width
+    rounds per chunk is the floor).  Returns the updated carry columns."""
+    S, Lb = rows[0].shape
+    chunk = _SCAN_CHUNK if (Lb > _SCAN_CHUNK and Lb % _SCAN_CHUNK == 0) else Lb
+    nc = Lb // chunk
+    carry = init
+    order = range(nc - 1, -1, -1) if reverse else range(nc)
+    for c in order:
+        sub = [r[:, c * chunk : (c + 1) * chunk] for r in rows]
+        n_rounds = max(1, int(math.ceil(math.log2(chunk)))) if chunk > 1 else 0
+        shift = 1
+        for _ in range(n_rounds):
+            rolled = [_roll(r, shift, reverse) for r in sub]
+            sub = combine_rows(rolled, sub, d)
+            shift *= 2
+        tot = [
+            r[:, 0:1] if reverse else r[:, chunk - 1 : chunk] for r in sub
+        ]
+        carry = combine_rows(carry, tot, d)
+    return carry
+
+
 def _strip_filter_rows(scal_ref, f_ref, q_ref, y_ref, mask_ref, i, d):
     """Shared element construction for the two filter passes: the filtering
     rows for this block's tile, with the global-first special element gated
@@ -759,9 +790,7 @@ def _strip_filter_scan_kernel(
 
     rows, _ = _strip_filter_rows(scal_ref, f_ref, q_ref, y_ref, mask_ref, i, d)
     init = [carry_ref[k, :, 0:1] for k in range(n)]
-    _, edge = _strip_chunked_scan(
-        rows, _filt_combine_rows, d, ident_rows, False, init
-    )
+    edge = _strip_block_total(rows, _filt_combine_rows, d, False, init)
     carry_ref[:] = jnp.broadcast_to(jnp.stack(edge, axis=0), carry_ref.shape)
     totals_out[:] = carry_ref[:]
 
@@ -1716,9 +1745,7 @@ def _strip_smoother_scan_kernel(
         d, pad
     )
     init = [carry_ref[k, :, 0:1] for k in range(n)]
-    _, edge = _strip_chunked_scan(
-        rows, _smooth_combine_rows, d, ident_rows, True, init
-    )
+    edge = _strip_block_total(rows, _smooth_combine_rows, d, True, init)
     carry_ref[0:n] = jnp.broadcast_to(
         jnp.stack(edge, axis=0), (n,) + carry_ref.shape[1:]
     )

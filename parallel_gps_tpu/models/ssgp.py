@@ -68,6 +68,13 @@ class StateSpaceGP:
     kernel: SDEKernel
     noise_variance: Array
     parallel: bool = struct.field(pytree_node=False, default=True)
+    # Optional device mesh with a "time" axis: LML and predict_f route
+    # through the time-axis-sharded two-level engines (parallel/sharded.py)
+    # — the pod-scale path, reachable from the model API like everything
+    # else (the reference's entire user surface is the model object,
+    # pssgp/model.py:58-117).  Static (part of the pytree treedef): one
+    # compile per mesh, reused across hyperparameter values.
+    mesh: object = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(
@@ -78,13 +85,28 @@ class StateSpaceGP:
         parallel: bool = True,
         max_parallel: int = 0,  # reference-API compat; unused
         dtype=None,
+        mesh=None,
     ) -> "StateSpaceGP":
+        """``mesh``: a ``jax.sharding.Mesh`` with a ``"time"`` axis to shard
+        the time dimension of the scans across devices/hosts (requires
+        ``parallel=True``); None (default) runs single-device.  Training
+        (``inference.fit_adam`` / ``fit_lbfgs``) and MCMC consume the model's
+        LML, so they run distributed automatically — gradients flow through
+        the sharded Fisher-identity VJP (parallel/sharded.py::sharded_lml_tl).
+        """
         del max_parallel
         ts, ys = data
         if dtype is None:
             from parallel_gps_tpu.config import default_float
 
             dtype = default_float()
+        if mesh is not None:
+            if not parallel:
+                raise ValueError("mesh requires parallel=True")
+            if "time" not in mesh.shape:
+                raise ValueError(
+                    f"mesh must have a 'time' axis, got {tuple(mesh.shape)}"
+                )
         ts = jnp.asarray(ts, dtype).reshape(-1, 1)
         ys = jnp.asarray(ys, dtype).reshape(-1, 1)
         return cls(
@@ -93,6 +115,7 @@ class StateSpaceGP:
             kernel=kernel,
             noise_variance=jnp.asarray(noise_variance, dtype),
             parallel=parallel,
+            mesh=mesh,
         )
 
     def _fused_engine_ok(self) -> bool:
@@ -149,8 +172,36 @@ class StateSpaceGP:
         time-last engine)."""
         return _lml_jit(self, self._fused_engine_ok())
 
+    def _shard_align(self, use_pallas: bool) -> int:
+        """Time-axis padding unit under a mesh: shards must divide T, and on
+        the pallas path each shard's local scan wants strip alignment."""
+        from parallel_gps_tpu.kalman.pallas_scan import strip_align
+
+        n_sh = self.mesh.shape["time"]
+        if not use_pallas:
+            return n_sh
+        return n_sh * strip_align(
+            self.kernel.state_dim, self.ts.dtype.itemsize
+        )
+
     def _lml_impl(self, use_pallas: bool) -> Array:
         ts, ys = self.ts, self.ys
+        if self.mesh is not None:
+            # Time-axis-sharded path: pad to the shard (and strip) alignment
+            # with exact no-op steps, then the distributed Fisher-VJP LML
+            # (forward = per-shard fused strip kernels on TPU + one tiny
+            # all_gather; backward = one sharded smoother pass).
+            from parallel_gps_tpu.parallel.sharded import sharded_lml_tl
+
+            ts, ys = _align_pad(
+                ts, ys, self.kernel.state_dim,
+                align=self._shard_align(use_pallas), force=True,
+            )
+            ssm = self._make_model(ts)
+            return sharded_lml_tl(
+                ssm, ys, self.mesh, "time",
+                engine="pallas" if use_pallas else "xla",
+            )
         if use_pallas:
             # Born-aligned inputs: pad ts/ys so the strip kernels' pack
             # stage copies nothing (dt=0 ⇒ identity transitions, NaN ⇒
@@ -220,19 +271,40 @@ class StateSpaceGP:
             self.ts[:, 0], Xsorted[:, 0], (self.ys,), (nan_ys,)
         )
         all_ts = all_ts[:, None]
-        if use_pallas:
-            # Born-aligned inputs for the strip kernels (see _lml_impl);
-            # the q_idx gather below only reads real positions, so the
-            # padded tail never surfaces.
-            all_ts, all_ys = _align_pad(all_ts, all_ys, self.kernel.state_dim)
-        ssm = self._make_model(all_ts)
-        if self.parallel:
-            # Prediction takes no gradients, so the forward-only fused
-            # Pallas engine is usable — round 1 left predict on the XLA
-            # engine (~14x slower at T=10^6).
-            sms, sPs = pkfs(ssm, all_ys, engine="pallas" if use_pallas else "auto")
+        if self.mesh is not None:
+            # Time-axis-sharded smoothing over the merged train+query series
+            # (see _lml_impl for the padding semantics).
+            from parallel_gps_tpu.parallel.sharded import sharded_pkfs_tl
+
+            all_ts, all_ys = _align_pad(
+                all_ts, all_ys, self.kernel.state_dim,
+                align=self._shard_align(use_pallas), force=True,
+            )
+            ssm = self._make_model(all_ts)
+            g_tl, L_tl = sharded_pkfs_tl(
+                ssm, all_ys, self.mesh, "time",
+                engine="pallas" if use_pallas else "xla",
+            )
+            sms = jnp.moveaxis(g_tl, -1, 0)
+            sPs = jnp.moveaxis(L_tl, -1, 0)
         else:
-            sms, sPs = kfs(ssm, all_ys)
+            if use_pallas:
+                # Born-aligned inputs for the strip kernels (see _lml_impl);
+                # the q_idx gather below only reads real positions, so the
+                # padded tail never surfaces.
+                all_ts, all_ys = _align_pad(
+                    all_ts, all_ys, self.kernel.state_dim
+                )
+            ssm = self._make_model(all_ts)
+            if self.parallel:
+                # Prediction takes no gradients, so the forward-only fused
+                # Pallas engine is usable — round 1 left predict on the XLA
+                # engine (~14x slower at T=10^6).
+                sms, sPs = pkfs(
+                    ssm, all_ys, engine="pallas" if use_pallas else "auto"
+                )
+            else:
+                sms, sPs = kfs(ssm, all_ys)
         q_idx = jnp.nonzero(is_query, size=Xnew.shape[0])[0]
         sms_q, sPs_q = sms[q_idx], sPs[q_idx]
         mean = (ssm.H[None] @ sms_q[..., None])[..., 0]  # (M, 1)
@@ -248,19 +320,26 @@ def _bucket_size(m: int, min_bucket: int = 16) -> int:
     return 1 << (m - 1).bit_length()
 
 
-def _align_pad(ts: Array, ys: Array, state_dim: int, align: int | None = None):
+def _align_pad(
+    ts: Array,
+    ys: Array,
+    state_dim: int,
+    align: int | None = None,
+    force: bool = False,
+):
     """End-pad (ts, ys) so the time axis is a multiple of the strip
     kernels' alignment: repeated last time (dt=0 ⇒ exact identity
     transitions) and NaN observations (masked out).  No-op when already
     aligned or when T is below one alignment unit (small problems don't
-    pay the pack-copy cost this avoids — see pallas_scan.strip_align)."""
+    pay the pack-copy cost this avoids — see pallas_scan.strip_align);
+    ``force`` pads regardless (sharded paths REQUIRE divisibility)."""
     from parallel_gps_tpu.kalman.pallas_scan import strip_align
 
     if align is None:
         align = strip_align(state_dim, ts.dtype.itemsize)
     T = ts.shape[0]
     Tp = -(-T // align) * align
-    if Tp == T or T < align:
+    if Tp == T or (T < align and not force):
         return ts, ys
     ts_p = jnp.concatenate(
         [ts, jnp.broadcast_to(ts[-1:], (Tp - T,) + ts.shape[1:])], axis=0

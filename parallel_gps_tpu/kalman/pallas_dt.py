@@ -1,0 +1,736 @@
+"""Fused-discretization ("dt-engine") strip kernels.
+
+The plane-streaming strip engine (kalman/pallas_scan.py) reads per-step
+transition/noise planes F, Q (2d² lanes planes) from HBM in BOTH kernel
+passes — 20 input planes per filter pass at d=3, 30 per smoother pass —
+while the round-4 attribution (results/r4_attrib.json) shows the kernels
+sit well above the measured-bandwidth traffic floor.  For kernels whose
+transitions have elementwise closed forms (the Matérn family — exponential
+polynomials; see SDEKernel.transition_coeffs), the planes never need to
+exist: these kernels rebuild, per (8, block) register tile,
+
+    Am1 = expm(dt·F) − I            from the dt plane + SMEM coefficients,
+    F   = I + Am1,
+    Q   = P∞ − A P∞ Aᵀ = −(M + Mᵀ + M·Am1ᵀ),  M = Am1·P∞,
+
+which is EXACTLY the cancellation-free discretization of ops/disc.py:90-106
+(reference discretization: pssgp/kernels/base.py:29-47), so results match
+the plane engine to f32 reassociation roundoff.  Filter passes then read
+3 input planes (dt, y, mask) instead of 20; smoother passes 13 instead of
+30 — and the (d, d, T) SSM materialization disappears from the pipeline
+entirely (a further 18-plane write+read per training step).
+
+Kernel structure (pass 1 totals → tiny exclusive prefixes → pass 2 seeded
+re-scan, streaming likelihood, cross-strip/shard boundary handling) mirrors
+pallas_scan.py; shared algebra is imported from there.  Forward-only, like
+every Pallas path (gradients ride the XLA time-last engine).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from parallel_gps_tpu.kalman.pallas_scan import (
+    DEFAULT_STRIP_BLOCK,
+    N_STRIPS,
+    _build_filtering_rows,
+    _build_smoothing_rows,
+    _filt_combine_rows,
+    _ident_rows_list,
+    _roll,
+    _smooth_combine_rows,
+    _strip_block_total,
+    _strip_chunked_scan,
+    _strip_exclusive_prefixes,
+    filt_rows,
+    smooth_rows,
+)
+
+
+def dt_strip_block(d: int, itemsize: int = 4) -> int:
+    """Strip block for the dt-engine: the VMEM-heaviest pass (smoother
+    pass 2) streams dt+b+C in (1 + d + d²) and g+L out (d + d²), with ~3
+    live element-row copies in the in-kernel scan — comfortably under the
+    plane engine's footprint, so the measured-best 1024 fits through d=8."""
+    n = filt_rows(d)
+    per_lane = (2 * (2 + d + d * d + n) + 3 * n) * N_STRIPS * itemsize
+    block = 128
+    from parallel_gps_tpu.kalman.pallas_scan import VMEM_BUDGET_BYTES
+
+    while block < DEFAULT_STRIP_BLOCK and (block * 2) * per_lane <= VMEM_BUDGET_BYTES:
+        block *= 2
+    return block
+
+
+def dt_strip_align(d: int, itemsize: int = 4) -> int:
+    """Time-axis alignment at which the dt-engine's pack padding is a no-op
+    (dt end-padding with 0 discretizes to exact identity elements)."""
+    return N_STRIPS * dt_strip_block(d, itemsize)
+
+
+def _dt_build_fq(scal_ref, dt, d, build, coef_off, n_coef):
+    """In-kernel F/Q row construction from a dt tile + SMEM coefficients
+    (see module docstring; math = ops/disc.py:90-106)."""
+    c = [scal_ref[coef_off + k] for k in range(n_coef)]
+    Am1 = build(c, dt)
+    F = [
+        [Am1[i][j] + (1.0 if i == j else 0.0) for j in range(d)]
+        for i in range(d)
+    ]
+    P0v = [[scal_ref[i * d + j] for j in range(d)] for i in range(d)]
+    M = [
+        [sum(Am1[i][k] * P0v[k][j] for k in range(d)) for j in range(d)]
+        for i in range(d)
+    ]
+    Q = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            v = -(
+                M[i][j]
+                + M[j][i]
+                + sum(M[i][k] * Am1[j][k] for k in range(d))
+            )
+            Q[i][j] = v
+            Q[j][i] = v
+    return F, Q, P0v
+
+
+# --------------------------------------------------------------------------
+# Filter
+# --------------------------------------------------------------------------
+
+
+def _dt_filter_rows(scal_ref, dt_ref, y_ref, mask_ref, i, d, build, n_coef):
+    """Filtering-element rows for this block's tile, F/Q built from dt.
+    SMEM layout: [P0 (d²) | h (d) | r | first_flag | coeffs (n_coef)]."""
+    d2 = d * d
+    S, Lb = dt_ref.shape[1], dt_ref.shape[2]
+    dt = dt_ref[0]
+    F, Q, P0v = _dt_build_fq(scal_ref, dt, d, build, d2 + d + 2, n_coef)
+    y = y_ref[0]
+    mask = mask_ref[0]
+    h = [scal_ref[d2 + k] for k in range(d)]
+    r = scal_ref[d2 + d]
+
+    first_here = jnp.logical_and(i == 0, scal_ref[d2 + d + 1] > 0.0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
+    is_first = jnp.logical_and(
+        jnp.logical_and(sub == 0, lane == 0), jnp.full((S, Lb), first_here)
+    )
+    rows = _build_filtering_rows(F, Q, y, mask, h, r, P0v, is_first, d)
+    return rows, (F, Q, y, mask, h, r, P0v, is_first)
+
+
+def _dt_filter_scan_kernel(
+    scal_ref, dt_ref, y_ref, mask_ref, totals_out, carry_ref, *, d, build,
+    n_coef,
+):
+    """Pass 1: build elements from dt and fold each strip's block into the
+    running per-strip totals (see pallas_scan._strip_filter_scan_kernel)."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    n = filt_rows(d)
+    dtype = dt_ref.dtype
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.stack(
+            _ident_rows_list(
+                n, ident_rows, (dt_ref.shape[1], carry_ref.shape[2]), dtype
+            ),
+            axis=0,
+        )
+
+    rows, _ = _dt_filter_rows(scal_ref, dt_ref, y_ref, mask_ref, i, d, build, n_coef)
+    init = [carry_ref[k, :, 0:1] for k in range(n)]
+    edge = _strip_block_total(rows, _filt_combine_rows, d, False, init)
+    carry_ref[:] = jnp.broadcast_to(jnp.stack(edge, axis=0), carry_ref.shape)
+    totals_out[:] = carry_ref[:]
+
+
+def _dt_filter_apply_kernel(
+    scal_ref, pref_ref, dt_ref, y_ref, mask_ref, b_out, c_out, ell_out,
+    carry_ref, acc_ref, *, d, build, n_coef,
+):
+    """Pass 2: rebuild elements from dt, re-scan with the strip prefix
+    seeded, emit moments + streaming log-likelihood (see
+    pallas_scan._strip_filter_apply_kernel — identical structure)."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    nB = pl.num_programs(0)
+    n = filt_rows(d)
+    d2 = d * d
+    S, Lb = dt_ref.shape[1], dt_ref.shape[2]
+    dtype = dt_ref.dtype
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = pref_ref[:]
+        acc_ref[0] = jnp.zeros((), dtype)
+
+    rows, (F, Q, y, mask, h, r, P0v, is_first) = _dt_filter_rows(
+        scal_ref, dt_ref, y_ref, mask_ref, i, d, build, n_coef
+    )
+    init = [carry_ref[k, :, 0:1] for k in range(n)]
+    out_rows, edge = _strip_chunked_scan(
+        rows, _filt_combine_rows, d, ident_rows, False, init
+    )
+    b_rows = out_rows[d2 : d2 + d]
+    c_rows = out_rows[d2 + d : 2 * d2 + d]
+    b_out[:] = jnp.stack(b_rows, axis=0)
+    c_out[:] = jnp.stack(c_rows, axis=0)
+
+    # Streaming log-likelihood — previous moments are a 1-lane shift with
+    # the carry supplying lane 0 (pallas_scan.py pass-2 comments apply).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
+    lane0 = lane == 0
+
+    def prev_col(k):
+        return jnp.broadcast_to(carry_ref[k, :, 0:1], (S, Lb))
+
+    mprev = [
+        jnp.where(lane0, prev_col(d2 + a), _roll(b_rows[a], 1, False))
+        for a in range(d)
+    ]
+    Pprev = [
+        [
+            jnp.where(
+                lane0,
+                prev_col(d2 + d + a * d + c),
+                _roll(c_rows[a * d + c], 1, False),
+            )
+            for c in range(d)
+        ]
+        for a in range(d)
+    ]
+    for a in range(d):
+        mprev[a] = jnp.where(is_first, jnp.zeros_like(mprev[a]), mprev[a])
+        for c in range(d):
+            Pprev[a][c] = jnp.where(is_first, P0v[a][c], Pprev[a][c])
+
+    hF = [sum(h[k] * F[k][j] for k in range(d)) for j in range(d)]
+    mean = sum(hF[j] * mprev[j] for j in range(d))
+    PhF = [sum(Pprev[j][k] * hF[k] for k in range(d)) for j in range(d)]
+    hQ = [sum(h[k] * Q[k][j] for k in range(d)) for j in range(d)]
+    var = (
+        sum(hF[j] * PhF[j] for j in range(d))
+        + sum(hQ[j] * h[j] for j in range(d))
+        + r
+    )
+    diff = y - mean
+    logp = -0.5 * (diff * diff / var + jnp.log(var) + math.log(2.0 * math.pi))
+    acc_ref[0] = acc_ref[0] + jnp.sum(jnp.where(mask > 0, logp, 0.0))
+
+    carry_ref[:] = jnp.broadcast_to(jnp.stack(edge, axis=0), carry_ref.shape)
+
+    @pl.when(i == nB - 1)
+    def _():
+        ell_out[0] = acc_ref[0]
+
+
+def _dt_filter_prep(dts, P0, H, R, observations, coeffs, block, first_flag):
+    """Strip reshape + zero end-padding (dt = 0 discretizes to the exact
+    identity element) + SMEM scalars."""
+    d = P0.shape[0]
+    d2 = d * d
+    T = dts.shape[-1]
+    dtype = P0.dtype
+    S = N_STRIPS
+
+    ys = observations.reshape(T)
+    mask = jnp.logical_not(jnp.isnan(ys))
+    y = jnp.where(mask, jnp.nan_to_num(ys), 0.0)
+    maskf = mask.astype(dtype)
+
+    W = -(-T // (S * block)) * block
+    Tp = S * W
+
+    def pad_end(x):
+        if Tp == T:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (Tp - T,), dtype)], axis=-1
+        )
+
+    dt_st = pad_end(dts.reshape(1, T).astype(dtype)).reshape(1, S, W)
+    y_st = pad_end(y[None].astype(dtype)).reshape(1, S, W)
+    m_st = pad_end(maskf[None]).reshape(1, S, W)
+
+    scal = jnp.concatenate(
+        [
+            P0.reshape(d2),
+            H.reshape(-1)[:d].astype(dtype),
+            R.reshape(1).astype(dtype),
+            jnp.asarray(first_flag, dtype).reshape(1),
+            coeffs.astype(dtype).reshape(-1),
+        ]
+    )
+    return scal, dt_st, y_st, m_st, W, Tp
+
+
+def _dt_filter_pass1(scal, dt_st, y_st, m_st, d, build, n_coef, block, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = filt_rows(d)
+    S, W = dt_st.shape[1], dt_st.shape[2]
+    dtype = dt_st.dtype
+    B = W // block
+    mk = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, S, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(_dt_filter_scan_kernel, d=d, build=build, n_coef=n_coef),
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), mk(1), mk(1), mk(1)],
+        out_specs=pl.BlockSpec(
+            (n, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, S, 128), dtype),
+        scratch_shapes=[pltpu.VMEM((n, S, 128), dtype)],
+        interpret=interpret,
+    )(scal, dt_st, y_st, m_st)
+
+
+def _dt_filter_pass2(
+    scal, prefixes, dt_st, y_st, m_st, d, build, n_coef, block, interpret
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d2 = d * d
+    n = filt_rows(d)
+    S, W = dt_st.shape[1], dt_st.shape[2]
+    dtype = dt_st.dtype
+    B = W // block
+    pref_v = jnp.broadcast_to(prefixes[:, :, None], (n, S, 128))
+    mk = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, S, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(_dt_filter_apply_kernel, d=d, build=build, n_coef=n_coef),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (n, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            mk(1),
+            mk(1),
+            mk(1),
+        ],
+        out_specs=(
+            mk(d),
+            mk(d2),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, S, W), dtype),
+            jax.ShapeDtypeStruct((d2, S, W), dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, S, 128), dtype),
+            pltpu.SMEM((1,), dtype),
+        ],
+        interpret=interpret,
+    )(scal, pref_v, dt_st, y_st, m_st)
+
+
+def strip_filter_dt(
+    build,
+    coeffs: Array,
+    P0: Array,
+    H: Array,
+    R: Array,
+    dts: Array,
+    observations: Array,
+    block: int | None = None,
+    interpret: bool = False,
+):
+    """Fused-discretization strip filter; returns (b_tl, C_tl, ell).
+
+    ``build``/``coeffs`` per SDEKernel.transition_coeffs; ``dts`` the (T,)
+    inter-observation gaps (t0-prepended diff, as in ops/disc.py)."""
+    d = P0.shape[0]
+    d2 = d * d
+    T = dts.shape[-1]
+    S = N_STRIPS
+    if block is None:
+        block = dt_strip_block(d, jnp.dtype(P0.dtype).itemsize)
+    ident_rows = tuple(k * d + k for k in range(d))
+    n_coef = coeffs.shape[0]
+
+    scal, dt_st, y_st, m_st, W, Tp = _dt_filter_prep(
+        dts, P0, H, R, observations, coeffs, block, 1.0
+    )
+    totals = _dt_filter_pass1(
+        scal, dt_st, y_st, m_st, d, build, n_coef, block, interpret
+    )
+    prefixes = _strip_exclusive_prefixes(
+        totals[:, :, 0], d, _filt_combine_rows, ident_rows, reverse=False
+    )
+    b_st, c_st, ell = _dt_filter_pass2(
+        scal, prefixes, dt_st, y_st, m_st, d, build, n_coef, block, interpret
+    )
+    b_tl = b_st.reshape(d, Tp)[:, :T]
+    C_tl = c_st.reshape(d2, Tp)[:, :T].reshape(d, d, T)
+    return b_tl, C_tl, ell[0]
+
+
+# --------------------------------------------------------------------------
+# Smoother
+# --------------------------------------------------------------------------
+
+
+def _dt_smoother_rows(
+    scal_ref, dt_ref, b_ref, c_ref, dtb_ref, carry_ref, i, d, build, n_coef,
+    pad,
+):
+    """Smoothing-element rows with next-step F/Q built from the 1-lane-
+    shifted dt plane (the carry stashes ONE dt boundary column instead of
+    the plane engine's 2d² F/Q columns).  SMEM: [P0 (d²) | last_flag |
+    coeffs].  Front-pad positions are forced to the identity element (see
+    pallas_scan._strip_smoother_rows)."""
+    import jax.experimental.pallas as pl
+
+    n = smooth_rows(d)
+    d2 = d * d
+    S, Lb = dt_ref.shape[1], dt_ref.shape[2]
+    dtype = dt_ref.dtype
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 0)
+    is_last_lane = lane == (Lb - 1)
+
+    rolled = _roll(dt_ref[0], 1, True)
+    stash = carry_ref[n, :, 0:1]
+    bound = dtb_ref[0, :, 0:1]
+    col = jnp.where(i == 0, bound, stash)
+    dt_next = jnp.where(
+        is_last_lane, jnp.broadcast_to(col, (S, Lb)), rolled
+    )
+    Fn, Qn, _ = _dt_build_fq(scal_ref, dt_next, d, build, d2 + 1, n_coef)
+
+    m = [b_ref[a] for a in range(d)]
+    P = [[c_ref[a * d + c] for c in range(d)] for a in range(d)]
+
+    last_here = jnp.logical_and(i == 0, scal_ref[d2] > 0.0)
+    is_global_last = jnp.logical_and(
+        jnp.logical_and(sub == S - 1, is_last_lane),
+        jnp.full((S, Lb), last_here),
+    )
+    rows = _build_smoothing_rows(Fn, Qn, m, P, is_global_last, d)
+    if pad:
+        nB = pl.num_programs(0)
+        W = nB * Lb
+        s0, c0 = divmod(pad, W)
+        tile_start = (nB - 1 - i) * Lb  # reverse index map
+        lane_g = tile_start + lane
+        is_pad = jnp.logical_or(
+            sub < s0, jnp.logical_and(sub == s0, lane_g < c0)
+        )
+        idents = _ident_rows_list(n, ident_rows, (S, Lb), dtype)
+        rows = [jnp.where(is_pad, idr, r) for idr, r in zip(idents, rows)]
+    return rows
+
+
+def _dt_smoother_scan_kernel(
+    scal_ref, dt_ref, b_ref, c_ref, dtb_ref, totals_out, carry_ref, *, d,
+    build, n_coef, pad,
+):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    n = smooth_rows(d)
+    S = dt_ref.shape[1]
+    dtype = dt_ref.dtype
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    @pl.when(i == 0)
+    def _():
+        pre = jnp.stack(
+            _ident_rows_list(n, ident_rows, (S, carry_ref.shape[2]), dtype),
+            axis=0,
+        )
+        carry_ref[0:n] = pre
+        carry_ref[n:] = jnp.zeros_like(carry_ref[n:])
+
+    rows = _dt_smoother_rows(
+        scal_ref, dt_ref, b_ref, c_ref, dtb_ref, carry_ref, i, d, build,
+        n_coef, pad,
+    )
+    init = [carry_ref[k, :, 0:1] for k in range(n)]
+    edge = _strip_block_total(rows, _smooth_combine_rows, d, True, init)
+    carry_ref[0:n] = jnp.broadcast_to(
+        jnp.stack(edge, axis=0), (n,) + carry_ref.shape[1:]
+    )
+    carry_ref[n : n + 1] = jnp.broadcast_to(
+        dt_ref[:][:, :, 0:1], (1,) + carry_ref.shape[1:]
+    )
+    totals_out[:] = carry_ref[0:n]
+
+
+def _dt_smoother_apply_kernel(
+    scal_ref, pref_ref, dt_ref, b_ref, c_ref, dtb_ref, g_out, l_out,
+    carry_ref, *, d, build, n_coef, pad,
+):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    n = smooth_rows(d)
+    d2 = d * d
+    ident_rows = tuple(k * d + k for k in range(d))
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[0:n] = pref_ref[:]
+        carry_ref[n:] = jnp.zeros_like(carry_ref[n:])
+
+    rows = _dt_smoother_rows(
+        scal_ref, dt_ref, b_ref, c_ref, dtb_ref, carry_ref, i, d, build,
+        n_coef, pad,
+    )
+    init = [carry_ref[k, :, 0:1] for k in range(n)]
+    out_rows, edge = _strip_chunked_scan(
+        rows, _smooth_combine_rows, d, ident_rows, True, init
+    )
+    g_out[:] = jnp.stack(out_rows[d2 : d2 + d], axis=0)
+    l_out[:] = jnp.stack(out_rows[d2 + d :], axis=0)
+    carry_ref[0:n] = jnp.broadcast_to(
+        jnp.stack(edge, axis=0), (n,) + carry_ref.shape[1:]
+    )
+    carry_ref[n : n + 1] = jnp.broadcast_to(
+        dt_ref[:][:, :, 0:1], (1,) + carry_ref.shape[1:]
+    )
+
+
+def _dt_smoother_prep(dts, b_tl, C_tl, coeffs, P0, block, dtb_last, last_flag):
+    """Strip reshape + FRONT padding (reverse scan; dt pads with 0, b with
+    0, C with I) + cross-strip boundary dt columns + SMEM scalars."""
+    d = b_tl.shape[0]
+    d2 = d * d
+    T = b_tl.shape[-1]
+    dtype = b_tl.dtype
+    S = N_STRIPS
+
+    W = -(-T // (S * block)) * block
+    Tp = S * W
+    pad = Tp - T
+
+    def pad_front(x, fill):
+        if pad == 0:
+            return x
+        return jnp.concatenate(
+            [jnp.broadcast_to(fill, x.shape[:-1] + (pad,)), x], axis=-1
+        )
+
+    eye_col = jnp.eye(d, dtype=dtype).reshape(d2, 1)
+    dt_st = pad_front(
+        dts.reshape(1, T).astype(dtype), jnp.zeros((1, 1), dtype)
+    ).reshape(1, S, W)
+    b_st = pad_front(b_tl, jnp.zeros((d, 1), dtype)).reshape(d, S, W)
+    c_st = pad_front(C_tl.reshape(d2, T), eye_col).reshape(d2, S, W)
+
+    # Cross-strip boundary dt: strip s's last element needs the dt at
+    # global (s+1)·W — the first column of strip s+1.
+    dtb = jnp.concatenate(
+        [dt_st[:, 1:, 0], dtb_last.reshape(1, 1).astype(dtype)], axis=1
+    )
+    dtb_v = jnp.broadcast_to(dtb[:, :, None], (1, S, 128))
+
+    scal = jnp.concatenate(
+        [
+            P0.reshape(d2).astype(dtype),
+            jnp.asarray(last_flag, dtype).reshape(1),
+            coeffs.astype(dtype).reshape(-1),
+        ]
+    )
+    return scal, dt_st, b_st, c_st, dtb_v, W, Tp, pad
+
+
+def _dt_smoother_pass1(
+    scal, dt_st, b_st, c_st, dtb_v, d, build, n_coef, block, interpret, pad
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d2 = d * d
+    n = smooth_rows(d)
+    S, W = dt_st.shape[1], dt_st.shape[2]
+    dtype = dt_st.dtype
+    B = W // block
+    rev = lambda i: (0, 0, B - 1 - i)  # noqa: E731
+    mk = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, S, block), rev, memory_space=pltpu.VMEM
+    )
+    cst = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(
+            _dt_smoother_scan_kernel, d=d, build=build, n_coef=n_coef, pad=pad
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            mk(1),
+            mk(d),
+            mk(d2),
+            cst(1),
+        ],
+        out_specs=cst(n),
+        out_shape=jax.ShapeDtypeStruct((n, S, 128), dtype),
+        scratch_shapes=[pltpu.VMEM((n + 1, S, 128), dtype)],
+        interpret=interpret,
+    )(scal, dt_st, b_st, c_st, dtb_v)
+
+
+def _dt_smoother_pass2(
+    scal, prefixes, dt_st, b_st, c_st, dtb_v, d, build, n_coef, block,
+    interpret, pad,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d2 = d * d
+    n = smooth_rows(d)
+    S, W = dt_st.shape[1], dt_st.shape[2]
+    dtype = dt_st.dtype
+    B = W // block
+    pref_v = jnp.broadcast_to(prefixes[:, :, None], (n, S, 128))
+    rev = lambda i: (0, 0, B - 1 - i)  # noqa: E731
+    mk = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, S, block), rev, memory_space=pltpu.VMEM
+    )
+    cst = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(
+            _dt_smoother_apply_kernel, d=d, build=build, n_coef=n_coef,
+            pad=pad,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            cst(n),
+            mk(1),
+            mk(d),
+            mk(d2),
+            cst(1),
+        ],
+        out_specs=(mk(d), mk(d2)),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, S, W), dtype),
+            jax.ShapeDtypeStruct((d2, S, W), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((n + 1, S, 128), dtype)],
+        interpret=interpret,
+    )(scal, pref_v, dt_st, b_st, c_st, dtb_v)
+
+
+def strip_smoother_dt(
+    build,
+    coeffs: Array,
+    P0: Array,
+    dts: Array,
+    b_tl: Array,
+    C_tl: Array,
+    block: int | None = None,
+    interpret: bool = False,
+):
+    """Fused-discretization strip smoother; returns (g_tl, L_tl)."""
+    d = b_tl.shape[0]
+    d2 = d * d
+    T = b_tl.shape[-1]
+    dtype = b_tl.dtype
+    if block is None:
+        block = dt_strip_block(d, jnp.dtype(dtype).itemsize)
+    ident_rows = tuple(k * d + k for k in range(d))
+    n_coef = coeffs.shape[0]
+
+    scal, dt_st, b_st, c_st, dtb_v, W, Tp, pad = _dt_smoother_prep(
+        dts, b_tl, C_tl, coeffs, P0, block,
+        jnp.zeros((), dtype), 1.0,
+    )
+    totals = _dt_smoother_pass1(
+        scal, dt_st, b_st, c_st, dtb_v, d, build, n_coef, block, interpret,
+        pad,
+    )
+    prefixes = _strip_exclusive_prefixes(
+        totals[:, :, 0], d, _smooth_combine_rows, ident_rows, reverse=True
+    )
+    g_st, l_st = _dt_smoother_pass2(
+        scal, prefixes, dt_st, b_st, c_st, dtb_v, d, build, n_coef, block,
+        interpret, pad,
+    )
+    g_tl = g_st.reshape(d, Tp)[:, pad:]
+    L_tl = l_st.reshape(d2, Tp)[:, pad:].reshape(d, d, T)
+    return g_tl, L_tl
+
+
+# --------------------------------------------------------------------------
+# High-level entry points
+# --------------------------------------------------------------------------
+
+
+def _dts_from_ts(ts: Array, t0=0.0) -> Array:
+    ts = ts.reshape(-1)
+    return jnp.diff(ts, prepend=jnp.asarray(t0, ts.dtype).reshape(1))
+
+
+def pkf_dt(kernel, ts, R, observations, block=None, interpret=False):
+    """Fused-discretization parallel filter from (kernel, times) directly —
+    the (d, d, T) SSM planes never exist.  Returns (b_tl, C_tl, ell).
+    Requires kernel.transition_coeffs() (Matérn family)."""
+    tc = kernel.transition_coeffs()
+    if tc is None:
+        raise ValueError(
+            f"{type(kernel).__name__} has no elementwise transition closed"
+            " form; use get_ssm_tl + the plane strip engine"
+        )
+    coeffs, build = tc
+    sde = kernel.get_sde()
+    dts = _dts_from_ts(ts).astype(sde.P0.dtype)
+    return strip_filter_dt(
+        build, coeffs, sde.P0, sde.H, jnp.asarray(R).reshape(1, 1),
+        dts, observations, block=block, interpret=interpret,
+    )
+
+
+def lml_dt(kernel, ts, R, observations, block=None, interpret=False):
+    """Log marginal likelihood via the dt-engine (forward-only)."""
+    return pkf_dt(kernel, ts, R, observations, block, interpret)[2]
+
+
+def pkfs_dt(kernel, ts, R, observations, block=None, interpret=False):
+    """Fused-discretization parallel filter + smoother; returns smoothed
+    (g_tl (d, T), L_tl (d, d, T))."""
+    tc = kernel.transition_coeffs()
+    if tc is None:
+        raise ValueError(
+            f"{type(kernel).__name__} has no elementwise transition closed"
+            " form; use get_ssm_tl + the plane strip engine"
+        )
+    coeffs, build = tc
+    sde = kernel.get_sde()
+    dts = _dts_from_ts(ts).astype(sde.P0.dtype)
+    b_tl, C_tl, _ = strip_filter_dt(
+        build, coeffs, sde.P0, sde.H, jnp.asarray(R).reshape(1, 1),
+        dts, observations, block=block, interpret=interpret,
+    )
+    return strip_smoother_dt(
+        build, coeffs, sde.P0, dts, b_tl, C_tl, block=block,
+        interpret=interpret,
+    )

@@ -106,6 +106,27 @@ class SDEKernel:
 
         return discretize_tl(sde, ts, R, t0, transitions_m1_tl=trans_m1_tl)
 
+    def transition_coeffs(self):
+        """Fused-discretization hook for the dt-engine (kalman/pallas_dt.py):
+        returns ``(coeffs, build)`` or None.
+
+        ``coeffs`` is a flat (n,) coefficient vector — an arbitrary traced
+        function of the kernel's hyperparameters, computed OUTSIDE the
+        Pallas kernels (so it may balance, take roots, etc.).  ``build`` is
+        a STATIC Python callable (it must not close over traced values)
+        mapping ``(c, dt) -> Am1`` where ``c`` is the list of n scalar
+        coefficients read back from SMEM, ``dt`` an array of any shape, and
+        ``Am1 = expm(dt·F) − I`` is returned as a d×d list-of-lists of
+        arrays shaped like ``dt`` using ONLY elementwise ops (exp/expm1/
+        mul/add — Mosaic-lowerable on (sublane, lane) tiles).
+
+        The dt-engine kernels rebuild F and the cancellation-free
+        ``Q = P∞ − A P∞ Aᵀ`` from this in registers, so the (d, d, T)
+        transition/noise planes never exist in HBM.  Kernels without an
+        elementwise closed form return None (default) and use the
+        plane-streaming strip engine instead."""
+        return None
+
     def __add__(self, other: "SDEKernel") -> "Sum":
         return Sum(kernels=(self, other))
 

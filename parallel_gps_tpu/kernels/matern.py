@@ -51,6 +51,58 @@ def matern_sde(variance, lengthscales, d: int):
     return F, L, H, Q
 
 
+def _expm1_neg(x):
+    """``expm1(−x)`` for x ≥ 0 with Mosaic-lowerable ops only.
+
+    The TPU kernel path has no expm1 primitive, and ``exp(−x) − 1`` loses
+    all relative precision for x ≲ √eps — exactly the tiny-dt regime the
+    cancellation-free discretization exists for — so small x takes the
+    Taylor series −x(1 − x/2 + x²/6 − x³/24) (truncation ≤ x⁴/120 < f32 eps
+    below the 1/16 threshold).  f64 never runs natively on the TPU kernels
+    (Mosaic is f32), so it keeps the true expm1."""
+    if x.dtype == jnp.float64:
+        return jnp.expm1(-x)
+    series = -x * (1.0 - x * (0.5 - x * (1.0 / 6.0 - x * (1.0 / 24.0))))
+    return jnp.where(x < 0.0625, series, jnp.exp(-x) - 1.0)
+
+
+def exppoly_transition_coeffs(d: int, lam, N_powers):
+    """(coeffs, build) for the exponential-polynomial transition family
+
+        expm(dt·F) − I = expm1(−λ dt)·I + e^{−λ dt} Σ_{p=1..deg} dt^p/p! · N_p
+
+    (F with a single eigenvalue −λ of multiplicity d and nilpotent shift
+    N = F + λI, N_p = Nᵖ, optionally balance-scaled) — every Matérn
+    half-integer kernel, and closed under products of Matérns (λ's add,
+    polynomials Kronecker-multiply).  ``build`` meets the
+    SDEKernel.transition_coeffs contract: elementwise-only, no captured
+    tracers (d/degree are static)."""
+    degree = len(N_powers)
+    coeffs = jnp.concatenate(
+        [jnp.reshape(lam, (1,))] + [jnp.reshape(N, (-1,)) for N in N_powers]
+    )
+
+    def build(c, dt):
+        lam_ = c[0]
+        em1 = _expm1_neg(lam_ * dt)
+        rows = [
+            [em1 if i == j else jnp.zeros_like(dt) for j in range(d)]
+            for i in range(d)
+        ]
+        if degree:
+            term = jnp.exp(-lam_ * dt) * dt
+            for p in range(1, degree + 1):
+                off = 1 + (p - 1) * d * d
+                for i in range(d):
+                    for j in range(d):
+                        rows[i][j] = rows[i][j] + term * c[off + i * d + j]
+                if p < degree:
+                    term = term * dt * (1.0 / (p + 1))
+        return rows
+
+    return coeffs, build
+
+
 @struct.dataclass
 class Matern12(SDEKernel):
     variance: Array = 1.0
@@ -74,6 +126,11 @@ class Matern12(SDEKernel):
     def transitions_m1_tl(self, dts: Array):
         lam = 1.0 / jnp.asarray(self.lengthscales, dts.dtype)
         return jnp.expm1(-lam * dts)[None, None, :]
+
+    def transition_coeffs(self):
+        dtype = config.default_float()
+        lam = 1.0 / jnp.asarray(self.lengthscales, dtype)
+        return exppoly_transition_coeffs(1, lam, [])
 
     def dense(self, X: Array, X2: Array) -> Array:
         r = scaled_dist(X, X2, self.lengthscales)
@@ -123,6 +180,19 @@ class Matern32(SDEKernel):
         row0 = jnp.stack([em1 + et * lam, et], axis=0)  # (2, T)
         row1 = jnp.stack([-et * lam**2, em1 - et * lam], axis=0)
         return jnp.stack([row0, row1], axis=0)  # (2, 2, T)
+
+    def transition_coeffs(self):
+        dtype = config.default_float()
+        lam = math.sqrt(3) / jnp.asarray(self.lengthscales, dtype)
+        # N = F + λI = [[λ, 1], [−λ², −λ]]
+        one = jnp.ones((), dtype)
+        N = jnp.stack(
+            [
+                jnp.stack([lam, one]),
+                jnp.stack([-lam * lam, -lam]),
+            ]
+        )
+        return exppoly_transition_coeffs(2, lam, [N])
 
     def dense(self, X: Array, X2: Array) -> Array:
         r = math.sqrt(3) * scaled_dist(X, X2, self.lengthscales)
@@ -195,6 +265,21 @@ class Matern52(SDEKernel):
         )
         d = jax.lax.stop_gradient(balance_scale(F, n_iter)).astype(dtype)
         return Em1 * (d[None, :, None] / d[:, None, None])
+
+    def transition_coeffs(self):
+        dtype = config.default_float()
+        F, _, _, _ = matern_sde(self.variance, self.lengthscales, 3)
+        lam = math.sqrt(5) / jnp.asarray(self.lengthscales, dtype)
+        N = F.astype(dtype) + lam * jnp.eye(3, dtype=dtype)
+        N2 = N @ N
+        n_iter = (
+            self.balancing_iter
+            if self.balancing_iter >= 0
+            else config.NUMBER_OF_BALANCING_STEPS
+        )
+        dvec = jax.lax.stop_gradient(balance_scale(F, n_iter)).astype(dtype)
+        scale = dvec[None, :] / dvec[:, None]  # [i, j] = d_j / d_i
+        return exppoly_transition_coeffs(3, lam, [N * scale, N2 * scale])
 
     def dense(self, X: Array, X2: Array) -> Array:
         r = math.sqrt(5) * scaled_dist(X, X2, self.lengthscales)

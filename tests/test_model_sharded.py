@@ -87,6 +87,29 @@ def test_model_fit_adam_sharded(data, mesh):
     )
 
 
+def test_model_mcmc_sharded_matches_single(data, mesh):
+    """A short HMC chain through the meshed model: run_one_mcmc consumes the
+    model's LML/grads (sharded Fisher VJP), so sampling distributes with no
+    driver changes (VERDICT r3 item 6).  Same seed + f64 + exact two-level
+    combine => the sharded chain reproduces the single-device chain."""
+    from parallel_gps_tpu.experiments.common import run_one_mcmc
+
+    single, sharded = _models(data, mesh)
+    s0, acc0, _ = run_one_mcmc(
+        single, None, algo="hmc", n_samples=15, burnin=5,
+        step_size=0.02, num_leapfrog_steps=5, seed=3,
+    )
+    s1, acc1, _ = run_one_mcmc(
+        sharded, None, algo="hmc", n_samples=15, burnin=5,
+        step_size=0.02, num_leapfrog_steps=5, seed=3,
+    )
+    assert 0.2 < acc1 <= 1.0
+    npt.assert_allclose(acc1, acc0, rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: npt.assert_allclose(a, b, rtol=1e-5, atol=1e-7), s1, s0
+    )
+
+
 def test_model_mesh_validation(data):
     t, y = data
     with pytest.raises(ValueError, match="parallel=True"):

@@ -72,28 +72,58 @@ def dt_strip_align(d: int, itemsize: int = 4) -> int:
     return N_STRIPS * dt_strip_block(d, itemsize)
 
 
+def zmul(a, b):
+    """None-as-structural-zero product (build contract: an Am1 entry may be
+    None, meaning exactly zero — composite kernels' block/Kronecker sparsity
+    then costs no vector ops in the unrolled kernel body)."""
+    return None if a is None or b is None else a * b
+
+
+def zsum(terms):
+    """None-aware sum; None when every term is structurally zero."""
+    live = [t for t in terms if t is not None]
+    if not live:
+        return None
+    out = live[0]
+    for t in live[1:]:
+        out = out + t
+    return out
+
+
 def _dt_build_fq(scal_ref, dt, d, build, coef_off, n_coef):
     """In-kernel F/Q row construction from a dt tile + SMEM coefficients
-    (see module docstring; math = ops/disc.py:90-106)."""
+    (see module docstring; math = ops/disc.py:90-106).  ``build`` may return
+    None entries (structural zeros — Sum block-diagonals, Periodic's j=0
+    rotation plane); the sparse M/Q arithmetic skips them and the returned
+    F/Q rows are dense arrays."""
     c = [scal_ref[coef_off + k] for k in range(n_coef)]
     Am1 = build(c, dt)
+    zero = jnp.zeros_like(dt)
     F = [
-        [Am1[i][j] + (1.0 if i == j else 0.0) for j in range(d)]
+        [
+            (1.0 + Am1[i][j] if Am1[i][j] is not None else 1.0 + zero)
+            if i == j
+            else (Am1[i][j] if Am1[i][j] is not None else zero)
+            for j in range(d)
+        ]
         for i in range(d)
     ]
     P0v = [[scal_ref[i * d + j] for j in range(d)] for i in range(d)]
     M = [
-        [sum(Am1[i][k] * P0v[k][j] for k in range(d)) for j in range(d)]
+        [
+            zsum([zmul(Am1[i][k], P0v[k][j]) for k in range(d)])
+            for j in range(d)
+        ]
         for i in range(d)
     ]
     Q = [[None] * d for _ in range(d)]
     for i in range(d):
         for j in range(i, d):
-            v = -(
-                M[i][j]
-                + M[j][i]
-                + sum(M[i][k] * Am1[j][k] for k in range(d))
+            s = zsum(
+                [M[i][j], M[j][i]]
+                + [zmul(M[i][k], Am1[j][k]) for k in range(d)]
             )
+            v = zero if s is None else -s
             Q[i][j] = v
             Q[j][i] = v
     return F, Q, P0v
@@ -360,7 +390,41 @@ def strip_filter_dt(
     """Fused-discretization strip filter; returns (b_tl, C_tl, ell).
 
     ``build``/``coeffs`` per SDEKernel.transition_coeffs; ``dts`` the (T,)
-    inter-observation gaps (t0-prepended diff, as in ops/disc.py)."""
+    inter-observation gaps (t0-prepended diff, as in ops/disc.py).
+    Vmappable: the batched rule materializes the planes once
+    (build_planes_tl) and rides the batched-sublane PLANE kernels — batched
+    MCMC/GP stacks stay on a fused path even through the dt-engine entry."""
+    from jax.custom_batching import custom_vmap
+
+    if block is None:
+        block = dt_strip_block(P0.shape[0], jnp.dtype(P0.dtype).itemsize)
+
+    @custom_vmap
+    def op(coeffs_, P0_, H_, R_, dts_, ys_):
+        return _strip_filter_dt_impl(
+            build, coeffs_, P0_, H_, R_, dts_, ys_, block, interpret
+        )
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, coeffs_, P0_, H_, R_, dts_, ys_):  # noqa: ANN001
+        from parallel_gps_tpu.kalman.pallas_scan import strip_filter
+
+        def one(co, p0, h, r, dt, y):
+            Fs, Qs, P0s = build_planes_tl(build, co, p0, dt)
+            return strip_filter(
+                Fs, Qs, P0s, h, r, y, block=block, interpret=interpret
+            )
+
+        axes = tuple(0 if b else None for b in in_batched)
+        out = jax.vmap(one, in_axes=axes)(coeffs_, P0_, H_, R_, dts_, ys_)
+        return out, (True, True, True)
+
+    return op(coeffs, P0, H, R, dts, observations)
+
+
+def _strip_filter_dt_impl(
+    build, coeffs, P0, H, R, dts, observations, block, interpret
+):
     d = P0.shape[0]
     d2 = d * d
     T = dts.shape[-1]
@@ -650,7 +714,39 @@ def strip_smoother_dt(
     block: int | None = None,
     interpret: bool = False,
 ):
-    """Fused-discretization strip smoother; returns (g_tl, L_tl)."""
+    """Fused-discretization strip smoother; returns (g_tl, L_tl).
+    Vmappable via plane materialization (see strip_filter_dt)."""
+    from jax.custom_batching import custom_vmap
+
+    if block is None:
+        block = dt_strip_block(b_tl.shape[0], jnp.dtype(b_tl.dtype).itemsize)
+
+    @custom_vmap
+    def op(coeffs_, P0_, dts_, b_, C_):
+        return _strip_smoother_dt_impl(
+            build, coeffs_, P0_, dts_, b_, C_, block, interpret
+        )
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, coeffs_, P0_, dts_, b_, C_):  # noqa: ANN001
+        from parallel_gps_tpu.kalman.pallas_scan import strip_smoother
+
+        def one(co, p0, dt, b__, c__):
+            Fs, Qs, _ = build_planes_tl(build, co, p0, dt)
+            return strip_smoother(
+                Fs, Qs, b__, c__, block=block, interpret=interpret
+            )
+
+        axes = tuple(0 if b else None for b in in_batched)
+        out = jax.vmap(one, in_axes=axes)(coeffs_, P0_, dts_, b_, C_)
+        return out, (True, True)
+
+    return op(coeffs, P0, dts, b_tl, C_tl)
+
+
+def _strip_smoother_dt_impl(
+    build, coeffs, P0, dts, b_tl, C_tl, block, interpret
+):
     d = b_tl.shape[0]
     d2 = d * d
     T = b_tl.shape[-1]
@@ -690,17 +786,21 @@ def _dts_from_ts(ts: Array, t0=0.0) -> Array:
     return jnp.diff(ts, prepend=jnp.asarray(t0, ts.dtype).reshape(1))
 
 
-def pkf_dt(kernel, ts, R, observations, block=None, interpret=False):
-    """Fused-discretization parallel filter from (kernel, times) directly —
-    the (d, d, T) SSM planes never exist.  Returns (b_tl, C_tl, ell).
-    Requires kernel.transition_coeffs() (Matérn family)."""
+def _coeffs_or_raise(kernel):
     tc = kernel.transition_coeffs()
     if tc is None:
         raise ValueError(
             f"{type(kernel).__name__} has no elementwise transition closed"
             " form; use get_ssm_tl + the plane strip engine"
         )
-    coeffs, build = tc
+    return tc
+
+
+def pkf_dt(kernel, ts, R, observations, block=None, interpret=False):
+    """Fused-discretization parallel filter from (kernel, times) directly —
+    the (d, d, T) SSM planes never exist.  Returns (b_tl, C_tl, ell).
+    Requires kernel.transition_coeffs() (Matérn family)."""
+    coeffs, build = _coeffs_or_raise(kernel)
     sde = kernel.get_sde()
     dts = _dts_from_ts(ts).astype(sde.P0.dtype)
     return strip_filter_dt(
@@ -709,9 +809,111 @@ def pkf_dt(kernel, ts, R, observations, block=None, interpret=False):
     )
 
 
+def build_planes_tl(build, coeffs: Array, P0: Array, dts: Array):
+    """XLA rebuild of the time-last (Fs, Qs, P0) planes from the transition
+    coefficients — numerically identical to ops/disc.py::discretize_tl with
+    ``transitions_m1_tl = build`` (same symmetrize, same cancellation-free
+    ``Q = −(AP + (AP)ᵀ + A Pᵀ Am1ᵀ)``).  Used only inside the dt-engine's
+    custom VJP: the elementwise Fisher tail needs the planes once per
+    BACKWARD pass, so the forward pipeline still never materializes them,
+    and jax.vjp of this function supplies the chain rule plane-cotangents →
+    (coeffs, P0, dts)."""
+    from parallel_gps_tpu.ops.linalg import symmetrize
+
+    d = P0.shape[0]
+    T = dts.shape[0]
+    c = [coeffs[k] for k in range(coeffs.shape[0])]
+    rows = build(c, dts)
+    zero = jnp.zeros_like(dts)
+    Am1 = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.broadcast_to(
+                        rows[i][j] if rows[i][j] is not None else zero, (T,)
+                    )
+                    for j in range(d)
+                ],
+                0,
+            )
+            for i in range(d)
+        ],
+        0,
+    )  # (d, d, T)
+    P0s = symmetrize(P0)
+    eye_tl = jnp.broadcast_to(
+        jnp.eye(d, dtype=Am1.dtype)[:, :, None], (d, d, T)
+    )
+    Fs = Am1 + eye_tl
+    P0_tl = P0s[:, :, None]
+    AP = jnp.sum(Am1[:, :, None, :] * P0_tl[None, :, :, :], axis=1)
+    APAt = jnp.sum(
+        AP[:, :, None, :] * Am1[None, :, :, :].swapaxes(1, 2), axis=1
+    )
+    Q = -(AP + jnp.swapaxes(AP, 0, 1) + APAt)
+    Qs = 0.5 * (Q + jnp.swapaxes(Q, 0, 1))
+    return Fs, Qs, P0s
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 7, 8))
+def _lml_dt_core(build, coeffs, P0, H, R, dts, observations, block, interpret):
+    """LML via the dt-engine with Fisher-identity gradients.
+
+    Forward: the fused-discretization strip filter (planes never exist).
+    Backward: the fused-discretization strip smoother + the shared
+    elementwise Fisher tail (timelast.fisher_grads_from_smoothed) on planes
+    rebuilt ONCE in XLA (build_planes_tl), whose jax.vjp chains the plane
+    cotangents to (coeffs, P0, dts).  The stationarity contract the Fisher
+    tail requires (Q_k = P0 − F_k P0 F_kᵀ) holds by construction."""
+    return strip_filter_dt(
+        build, coeffs, P0, H, R, dts, observations,
+        block=block, interpret=interpret,
+    )[2]
+
+
+def _lml_dt_core_fwd(build, coeffs, P0, H, R, dts, observations, block,
+                     interpret):
+    b_tl, C_tl, ell = strip_filter_dt(
+        build, coeffs, P0, H, R, dts, observations,
+        block=block, interpret=interpret,
+    )
+    return ell, (coeffs, P0, H, R, dts, observations, b_tl, C_tl)
+
+
+def _lml_dt_core_bwd(build, block, interpret, residuals, gbar):
+    from parallel_gps_tpu.kalman.timelast import fisher_grads_from_smoothed
+    from parallel_gps_tpu.types import LGSSMTL
+
+    coeffs, P0, H, R, dts, observations, b_tl, C_tl = residuals
+    g_tl, L_tl = strip_smoother_dt(
+        build, coeffs, P0, dts, b_tl, C_tl, block=block, interpret=interpret
+    )
+    (Fs, Qs, P0s), vjp_fn = jax.vjp(
+        lambda c, p, dt: build_planes_tl(build, c, p, dt), coeffs, P0, dts
+    )
+    ssm = LGSSMTL(P0s, Fs, Qs, H, R)
+    ct_ssm, ct_y = fisher_grads_from_smoothed(
+        ssm, observations, b_tl, C_tl, g_tl, L_tl, gbar
+    )
+    d_coeffs, d_P0, d_dts = vjp_fn((ct_ssm.Fs, ct_ssm.Qs, ct_ssm.P0))
+    return (d_coeffs, d_P0, ct_ssm.H, ct_ssm.R, d_dts, ct_y)
+
+
+_lml_dt_core.defvjp(_lml_dt_core_fwd, _lml_dt_core_bwd)
+
+
 def lml_dt(kernel, ts, R, observations, block=None, interpret=False):
-    """Log marginal likelihood via the dt-engine (forward-only)."""
-    return pkf_dt(kernel, ts, R, observations, block, interpret)[2]
+    """Log marginal likelihood via the dt-engine, DIFFERENTIABLE in the
+    kernel hyperparameters, R, and the observations (Fisher-identity custom
+    VJP; see _lml_dt_core).  The training step never materializes the
+    (d, d, T) planes in its forward pipeline."""
+    coeffs, build = _coeffs_or_raise(kernel)
+    sde = kernel.get_sde()
+    dts = _dts_from_ts(ts).astype(sde.P0.dtype)
+    return _lml_dt_core(
+        build, coeffs, sde.P0, sde.H, jnp.asarray(R).reshape(1, 1),
+        dts, observations, block, interpret,
+    )
 
 
 def pkfs_dt(kernel, ts, R, observations, block=None, interpret=False):

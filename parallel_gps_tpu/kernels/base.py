@@ -118,7 +118,11 @@ class SDEKernel:
         coefficients read back from SMEM, ``dt`` an array of any shape, and
         ``Am1 = expm(dt·F) − I`` is returned as a d×d list-of-lists of
         arrays shaped like ``dt`` using ONLY elementwise ops (exp/expm1/
-        mul/add — Mosaic-lowerable on (sublane, lane) tiles).
+        sin/mul/add — Mosaic-lowerable on (sublane, lane) tiles).  An entry
+        may be ``None``, meaning exactly zero: the dt-engine's None-aware
+        algebra (kalman.pallas_dt.zmul/zsum) then skips it, so Sum
+        block-diagonals and Periodic rotation planes cost no vector ops for
+        their structural zeros.
 
         The dt-engine kernels rebuild F and the cancellation-free
         ``Q = P∞ − A P∞ Aᵀ`` from this in registers, so the (d, d, T)
@@ -234,6 +238,47 @@ class Sum(SDEKernel):
         F = _block_diag([s.F for s in sdes])
         d = jax.lax.stop_gradient(balance_scale(F, self._n_iter()))
         return out * (d[None, :, None] / d[:, None, None])
+
+    def transition_coeffs(self):
+        """dt-engine hook for sums: the children's builds written into the
+        block diagonal (structural zeros stay ``None`` — see
+        kalman.pallas_dt.zmul), conjugated by this Sum's balancing
+        similarity, whose scale vector (and its reciprocal) travels in the
+        coefficient vector.  None when any child lacks a closed form."""
+        parts = [k.transition_coeffs() for k in self.kernels]
+        if any(p is None for p in parts):
+            return None
+        sdes = [k.get_sde() for k in self.kernels]
+        dims = [int(s.F.shape[0]) for s in sdes]
+        F = _block_diag([s.F for s in sdes])
+        dvec = jax.lax.stop_gradient(
+            balance_scale(F, self._n_iter())
+        ).astype(F.dtype)
+        coeffs = jnp.concatenate(
+            [dvec, 1.0 / dvec] + [p[0].astype(F.dtype) for p in parts]
+        )
+        builds = tuple(p[1] for p in parts)
+        ncs = tuple(int(p[0].shape[0]) for p in parts)
+        d = sum(dims)
+
+        def build(c, dt):
+            rows = [[None] * d for _ in range(d)]
+            off = 2 * d
+            r0 = 0
+            for bk, nc, dk in zip(builds, ncs, dims):
+                sub = bk(c[off : off + nc], dt)
+                for i in range(dk):
+                    for j in range(dk):
+                        e = sub[i][j]
+                        if e is not None and i != j:
+                            # similarity scale d_j / d_i (diag scale is 1)
+                            e = e * (c[r0 + j] * c[d + r0 + i])
+                        rows[r0 + i][r0 + j] = e
+                off += nc
+                r0 += dk
+            return rows
+
+        return coeffs, build
 
     def __repr__(self):  # avoid flax auto-repr recursion noise in errors
         return f"Sum({', '.join(map(repr, self.kernels))})"
@@ -371,6 +416,62 @@ class Product(SDEKernel):
             if self.balancing_iter >= 0
             else config.NUMBER_OF_BALANCING_STEPS
         )
+
+    def transition_coeffs(self):
+        """dt-engine hook for products: the commuting-Kronecker fold
+        ``A − I = Am1_a ⊗ Am1_b + Am1_a ⊗ I + I ⊗ Am1_b`` applied entrywise
+        to the children's builds (None = structural zero propagates through
+        the fold), conjugated by this Product's balancing similarity.  None
+        when any child lacks a closed form."""
+        from parallel_gps_tpu.kalman.pallas_dt import zmul, zsum
+
+        parts = [k.transition_coeffs() for k in self.kernels]
+        if any(p is None for p in parts):
+            return None
+        sdes = [k.get_sde() for k in self.kernels]
+        dims = [int(s.F.shape[0]) for s in sdes]
+        F = reduce(lambda F1, F2: _kron_F(F1, F2), [s.F for s in sdes])
+        dvec = jax.lax.stop_gradient(
+            balance_scale(F, self._n_iter())
+        ).astype(F.dtype)
+        d = int(F.shape[0])
+        coeffs = jnp.concatenate(
+            [dvec, 1.0 / dvec] + [p[0].astype(F.dtype) for p in parts]
+        )
+        builds = tuple(p[1] for p in parts)
+        ncs = tuple(int(p[0].shape[0]) for p in parts)
+
+        def build(c, dt):
+            off = 2 * d
+            mats = []
+            for bk, nc in zip(builds, ncs):
+                mats.append(bk(c[off : off + nc], dt))
+                off += nc
+
+            def fold(A, B):
+                da, db = len(A), len(B)
+                out = [[None] * (da * db) for _ in range(da * db)]
+                for i1 in range(da):
+                    for j1 in range(da):
+                        for i2 in range(db):
+                            for j2 in range(db):
+                                out[i1 * db + i2][j1 * db + j2] = zsum(
+                                    [
+                                        zmul(A[i1][j1], B[i2][j2]),
+                                        A[i1][j1] if i2 == j2 else None,
+                                        B[i2][j2] if i1 == j1 else None,
+                                    ]
+                                )
+                return out
+
+            rows = reduce(fold, mats)
+            for i in range(d):
+                for j in range(d):
+                    if i != j and rows[i][j] is not None:
+                        rows[i][j] = rows[i][j] * (c[j] * c[d + i])
+            return rows
+
+        return coeffs, build
 
     def __repr__(self):
         return f"Product({', '.join(map(repr, self.kernels))})"

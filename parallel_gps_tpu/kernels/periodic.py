@@ -137,6 +137,33 @@ class Periodic(SDEKernel):
         out = out.at[ev + 1, ev + 1, :].set(cm1)
         return out
 
+    def transition_coeffs(self):
+        """dt-engine hook: one coefficient (ω₀); the build emits the
+        rotation planes of :meth:`transitions_m1` with elementwise sin only
+        (cosθ − 1 = −2 sin²(θ/2)).  The j = 0 oscillator is the identity
+        (Am1 block exactly zero), so its entries stay None (structural
+        zeros, kalman.pallas_dt.zmul)."""
+        dtype = config.default_float()
+        w0 = 2.0 * math.pi / jnp.asarray(self.period, dtype)
+        coeffs = w0.reshape(1)
+        N = self.order
+        dim = 2 * (N + 1)
+
+        def build(c, dt):
+            rows = [[None] * dim for _ in range(dim)]
+            for j in range(1, N + 1):
+                theta = (float(j) * c[0]) * dt
+                cm1 = -2.0 * jnp.sin(0.5 * theta) ** 2
+                s = jnp.sin(theta)
+                e = 2 * j
+                rows[e][e] = cm1
+                rows[e][e + 1] = -s
+                rows[e + 1][e] = s
+                rows[e + 1][e + 1] = cm1
+            return rows
+
+        return coeffs, build
+
     def dense(self, X: Array, X2: Array) -> Array:
         tau = X.reshape(-1, 1) - X2.reshape(-1, 1).T
         s = jnp.sin(math.pi * tau / self.period) / self.lengthscales

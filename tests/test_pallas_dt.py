@@ -87,6 +87,141 @@ def test_dt_smoother_matches_tl():
     npt.assert_allclose(L_s, L_x, rtol=1e-8, atol=1e-9)
 
 
+def _composites():
+    from parallel_gps_tpu.kernels import Periodic
+
+    return [
+        ("sum_m32_m12", Matern32(1.1, 0.5) + Matern12(0.8, 0.3)),
+        ("prod_m32_m32", Matern32(1.2, 0.6) * Matern32(0.9, 0.4)),
+        ("periodic2", Periodic(1.3, 0.8, period=0.7, order=2)),
+        (
+            "quasiperiodic",
+            Periodic(1.0, 1.0, period=0.5, order=1) * Matern12(1.0, 0.7),
+        ),
+        (
+            "co2_shape",
+            Periodic(1.0, 1.0, period=0.5, order=1) * Matern32(0.5, 0.8)
+            + Matern32(1.0, 1.5),
+        ),
+    ]
+
+
+@pytest.mark.parametrize(
+    "name,kern", _composites(), ids=[n for n, _ in _composites()]
+)
+def test_composite_build_planes_match_get_ssm_tl(name, kern):
+    """build_planes_tl(transition_coeffs) == get_ssm_tl planes entrywise —
+    the full dt-engine F/Q reconstruction contract for Sum/Product/Periodic
+    composites (structural-zero Am1 entries included), in plain XLA."""
+    from parallel_gps_tpu.kalman.pallas_dt import (
+        _dts_from_ts,
+        build_planes_tl,
+    )
+
+    rng = np.random.RandomState(2)
+    ts = jnp.asarray(np.sort(rng.rand(64))).reshape(-1, 1)
+    R = jnp.asarray(0.05).reshape(1, 1)
+    ssm = kern.get_ssm_tl(ts, R)
+    coeffs, build = kern.transition_coeffs()
+    dts = _dts_from_ts(ts).astype(ssm.P0.dtype)
+    Fs, Qs, P0s = build_planes_tl(build, coeffs, ssm.P0, dts)
+    npt.assert_allclose(Fs, ssm.Fs, rtol=1e-11, atol=1e-13)
+    npt.assert_allclose(Qs, ssm.Qs, rtol=1e-11, atol=1e-13)
+    npt.assert_allclose(P0s, ssm.P0, rtol=1e-12, atol=1e-14)
+
+
+def test_composite_dt_filter_matches_tl():
+    """End-to-end interpret-mode dt filter on a composite (Product, d=4)."""
+    kern = Matern32(1.2, 0.6) * Matern12(0.9, 0.4)
+    ts, R, ssm, ys = _setup(kern, 277, seed=13)
+    b_x, C_x, ell_x = pkf_from_tl(ssm, ys, True)
+    coeffs, build = kern.transition_coeffs()
+    dts = _dts_from_ts(ts).astype(ssm.P0.dtype)
+    b_s, C_s, ell_s = strip_filter_dt(
+        build, coeffs, ssm.P0, ssm.H, ssm.R, dts, ys, block=16,
+        interpret=True,
+    )
+    npt.assert_allclose(b_s, b_x, rtol=1e-8, atol=1e-9)
+    npt.assert_allclose(C_s, C_x, rtol=1e-8, atol=1e-9)
+    npt.assert_allclose(float(ell_s), float(ell_x), rtol=1e-9)
+
+
+def test_composite_lml_dt_grads():
+    """Fisher-VJP grads through a Sum's transition_coeffs (balance-scale
+    chain rule included) vs autodiff of the XLA engine."""
+    import jax
+
+    from parallel_gps_tpu.kalman.pallas_dt import lml_dt
+    from parallel_gps_tpu.kalman.timelast import lml_tl
+
+    ts, R, _, ys = _setup(Matern32(1.0, 0.5) + Matern12(1.0, 0.5), 149, seed=4)
+
+    def via_dt(p):
+        kern = Matern32(p[0], p[1]) + Matern12(p[2], p[3])
+        return lml_dt(kern, ts, p[4].reshape(1, 1), ys, block=8,
+                      interpret=True)
+
+    def via_xla(p):
+        kern = Matern32(p[0], p[1]) + Matern12(p[2], p[3])
+        return lml_tl(kern.get_ssm_tl(ts, p[4].reshape(1, 1)), ys, False)
+
+    p0 = jnp.asarray([1.1, 0.5, 0.9, 0.35, 0.1], jnp.float64)
+    v_dt, g_dt = jax.value_and_grad(via_dt)(p0)
+    v_x, g_x = jax.value_and_grad(via_xla)(p0)
+    npt.assert_allclose(float(v_dt), float(v_x), rtol=1e-10)
+    npt.assert_allclose(g_dt, g_x, rtol=1e-7, atol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "kernel",
+    [Matern12(1.2, 0.6), Matern32(1.1, 0.45), Matern52(0.9, 0.5)],
+    ids=["m12", "m32", "m52"],
+)
+def test_lml_dt_grads_match_autodiff(kernel):
+    """d(lml_dt)/d(hypers, R) — dt-engine Fisher VJP (interpret mode) vs
+    end-to-end autodiff of the XLA time-last engine THROUGH get_ssm_tl:
+    same value, same gradients, f64."""
+    import jax
+
+    from parallel_gps_tpu.kalman.pallas_dt import lml_dt
+    from parallel_gps_tpu.kalman.timelast import lml_tl
+
+    ts, R, _, ys = _setup(type(kernel)(1.0, 1.0), 173, seed=5)
+
+    def via_dt(p):
+        kern = type(kernel)(variance=p[0], lengthscales=p[1])
+        return lml_dt(kern, ts, p[2].reshape(1, 1), ys, block=16,
+                      interpret=True)
+
+    def via_xla(p):
+        kern = type(kernel)(variance=p[0], lengthscales=p[1])
+        ssm = kern.get_ssm_tl(ts, p[2].reshape(1, 1))
+        return lml_tl(ssm, ys, False)
+
+    p0 = jnp.asarray(
+        [kernel.variance, kernel.lengthscales, 0.1], jnp.float64
+    )
+    v_dt, g_dt = jax.value_and_grad(via_dt)(p0)
+    v_x, g_x = jax.value_and_grad(via_xla)(p0)
+    npt.assert_allclose(float(v_dt), float(v_x), rtol=1e-10)
+    npt.assert_allclose(g_dt, g_x, rtol=1e-7, atol=1e-10)
+
+
+def test_lml_dt_grad_wrt_observations():
+    import jax
+
+    from parallel_gps_tpu.kalman.pallas_dt import lml_dt
+    from parallel_gps_tpu.kalman.timelast import lml_tl
+
+    kernel = Matern32(1.0, 0.5)
+    ts, R, ssm, ys = _setup(kernel, 157, seed=9)
+    g_dt = jax.grad(
+        lambda o: lml_dt(kernel, ts, R, o, block=16, interpret=True)
+    )(ys)
+    g_x = jax.grad(lambda o: lml_tl(ssm, o, False))(ys)
+    npt.assert_allclose(g_dt, g_x, rtol=1e-8, atol=1e-12)
+
+
 def test_pkfs_dt_end_to_end():
     from parallel_gps_tpu.kalman.timelast import pkfs_from_tl
 

@@ -203,6 +203,31 @@ class StateSpaceGP:
                 engine="pallas" if use_pallas else "xla",
             )
         if use_pallas:
+            tc = self.kernel.transition_coeffs()
+            if tc is not None:
+                # dt-engine: kernels with elementwise closed-form
+                # transitions (Matérn family + their Sum/Product/Periodic
+                # composites) never materialize the (d, d, T) SSM planes —
+                # F/Q are rebuilt in registers from the dt plane, and
+                # gradients ride the dt-engine Fisher VJP
+                # (kalman/pallas_dt.py; measured ~12% faster than the plane
+                # engine at N=10M before counting the discretization the
+                # plane path pays on top, results/dt_10m.json).
+                from parallel_gps_tpu.kalman.pallas_dt import (
+                    dt_strip_align,
+                    lml_dt,
+                )
+
+                ts, ys = _align_pad(
+                    ts, ys, self.kernel.state_dim,
+                    align=dt_strip_align(
+                        self.kernel.state_dim, ts.dtype.itemsize
+                    ),
+                )
+                return lml_dt(
+                    self.kernel, ts, jnp.reshape(self.noise_variance, (1, 1)),
+                    ys,
+                )
             # Born-aligned inputs: pad ts/ys so the strip kernels' pack
             # stage copies nothing (dt=0 ⇒ identity transitions, NaN ⇒
             # masked — LML at real positions is unchanged).  Measured
@@ -281,9 +306,32 @@ class StateSpaceGP:
                 align=self._shard_align(use_pallas), force=True,
             )
             ssm = self._make_model(all_ts)
+            H_mat = ssm.H
             g_tl, L_tl = sharded_pkfs_tl(
                 ssm, all_ys, self.mesh, "time",
                 engine="pallas" if use_pallas else "xla",
+            )
+            sms = jnp.moveaxis(g_tl, -1, 0)
+            sPs = jnp.moveaxis(L_tl, -1, 0)
+        elif use_pallas and self.kernel.transition_coeffs() is not None:
+            # dt-engine smoothing over the merged series (see _lml_impl):
+            # prediction takes no gradients, so the forward-only fused path
+            # applies; F/Q rebuilt in registers from the merged dt plane.
+            from parallel_gps_tpu.kalman.pallas_dt import (
+                dt_strip_align,
+                pkfs_dt,
+            )
+
+            all_ts, all_ys = _align_pad(
+                all_ts, all_ys, self.kernel.state_dim,
+                align=dt_strip_align(
+                    self.kernel.state_dim, all_ts.dtype.itemsize
+                ),
+            )
+            H_mat = self.kernel.get_sde().H
+            g_tl, L_tl = pkfs_dt(
+                self.kernel, all_ts,
+                jnp.reshape(self.noise_variance, (1, 1)), all_ys,
             )
             sms = jnp.moveaxis(g_tl, -1, 0)
             sPs = jnp.moveaxis(L_tl, -1, 0)
@@ -296,6 +344,7 @@ class StateSpaceGP:
                     all_ts, all_ys, self.kernel.state_dim
                 )
             ssm = self._make_model(all_ts)
+            H_mat = ssm.H
             if self.parallel:
                 # Prediction takes no gradients, so the forward-only fused
                 # Pallas engine is usable — round 1 left predict on the XLA
@@ -307,8 +356,8 @@ class StateSpaceGP:
                 sms, sPs = kfs(ssm, all_ys)
         q_idx = jnp.nonzero(is_query, size=Xnew.shape[0])[0]
         sms_q, sPs_q = sms[q_idx], sPs[q_idx]
-        mean = (ssm.H[None] @ sms_q[..., None])[..., 0]  # (M, 1)
-        var = (ssm.H[None] @ sPs_q @ ssm.H.T)[..., 0]  # (M, 1)
+        mean = (H_mat[None] @ sms_q[..., None])[..., 0]  # (M, 1)
+        var = (H_mat[None] @ sPs_q @ H_mat.T)[..., 0]  # (M, 1)
         inv_order = jnp.argsort(order)
         return mean[inv_order], var[inv_order]
 

@@ -1172,6 +1172,85 @@ def strip_filter_sharded(
     return b_tl, C_tl, jax.lax.psum(ell[0], axis_name)
 
 
+def strip_filter_sharded_onechip(
+    Fs_tl: Array,
+    Qs_tl: Array,
+    P0: Array,
+    H: Array,
+    R: Array,
+    observations: Array,
+    n_shards: int,
+    block: int = DEFAULT_STRIP_BLOCK,
+    interpret: bool = False,
+):
+    """One-device executor of :func:`strip_filter_sharded`'s EXACT per-shard
+    program, shards run sequentially: ``axis_index``/``all_gather``/``psum``
+    become a host-side loop + concatenation, everything else (prep, the
+    pass-1/pass-2 kernels, the prefix folds, the first-flag handling) is the
+    same code with the same shapes.
+
+    Purpose (VERDICT r3 item 8): the runtime cannot express an n_shards ≥ 2
+    time mesh on ONE physical chip (a jax.sharding.Mesh needs distinct
+    devices; v5e has a single core, no megacore), so the pod path's
+    nontrivial cross-shard prefixes could otherwise only execute under
+    CPU-interpret shard_map tests.  This runs them on real TPU hardware;
+    the collective itself is exercised by the 8-virtual-device shard_map
+    tests (tests/test_sharded.py)."""
+    d = P0.shape[0]
+    d2 = d * d
+    n = filt_rows(d)
+    ident_rows = tuple(k * d + k for k in range(d))
+    T = Fs_tl.shape[-1]
+    assert T % n_shards == 0
+    Tl = T // n_shards
+    ys = observations.reshape(T)
+
+    states = []
+    shard_totals = []
+    for p in range(n_shards):
+        sl = slice(p * Tl, (p + 1) * Tl)
+        scal, F_st, Q_st, y_st, m_st, W, Tp = _strip_filter_prep(
+            Fs_tl[..., sl], Qs_tl[..., sl], P0, H, R, ys[sl], block,
+            1.0 if p == 0 else 0.0,
+        )
+        totals = _strip_filter_pass1(
+            scal, F_st, Q_st, y_st, m_st, d, block, interpret
+        )
+        local_pref = _strip_exclusive_prefixes(
+            totals[:, :, 0], d, _filt_combine_rows, ident_rows, reverse=False
+        )
+        shard_total = jnp.concatenate(
+            _filt_combine_rows(
+                [local_pref[k : k + 1, N_STRIPS - 1 : N_STRIPS] for k in range(n)],
+                [totals[k : k + 1, N_STRIPS - 1, 0:1] for k in range(n)],
+                d,
+            ),
+            axis=0,
+        )
+        shard_totals.append(shard_total[:, 0])
+        states.append((scal, F_st, Q_st, y_st, m_st, totals, Tp))
+
+    gathered = jnp.stack(shard_totals, axis=1)  # (n, P)
+    shard_prefs = _strip_exclusive_prefixes(
+        gathered, d, _filt_combine_rows, ident_rows, reverse=False
+    )
+    bs, cs, ells = [], [], []
+    for p, (scal, F_st, Q_st, y_st, m_st, totals, Tp) in enumerate(states):
+        prefixes = _strip_exclusive_prefixes(
+            totals[:, :, 0], d, _filt_combine_rows, ident_rows,
+            reverse=False, init=shard_prefs[:, p : p + 1],
+        )
+        b_st, c_st, ell = _strip_filter_pass2(
+            scal, prefixes, F_st, Q_st, y_st, m_st, d, block, interpret
+        )
+        bs.append(b_st.reshape(d, Tp)[:, :Tl])
+        cs.append(c_st.reshape(d2, Tp)[:, :Tl])
+        ells.append(ell[0])
+    b_tl = jnp.concatenate(bs, axis=-1)
+    C_tl = jnp.concatenate(cs, axis=-1).reshape(d, d, T)
+    return b_tl, C_tl, sum(ells)
+
+
 # --------------------------------------------------------------------------
 # Batched engine: BATCH on sublanes × time on lanes.
 #
@@ -1951,6 +2030,87 @@ def strip_smoother(
     g_tl = g_st.reshape(d, Tp)[:, pad:]
     L_tl = l_st.reshape(d2, Tp)[:, pad:].reshape(d, d, T)
     return g_tl, L_tl
+
+
+def strip_smoother_sharded_onechip(
+    Fs_tl: Array,
+    Qs_tl: Array,
+    b_tl: Array,
+    C_tl: Array,
+    n_shards: int,
+    block: int = DEFAULT_STRIP_BLOCK,
+    interpret: bool = False,
+):
+    """One-device executor of :func:`strip_smoother_sharded`'s per-shard
+    program (see :func:`strip_filter_sharded_onechip`): the ``ppermute`` of
+    the next shard's first F/Q column and the suffix-total ``all_gather``
+    become explicit slices over the sequential shard loop."""
+    d = b_tl.shape[0]
+    d2 = d * d
+    dtype = b_tl.dtype
+    n = smooth_rows(d)
+    ident_rows = tuple(k * d + k for k in range(d))
+    T = b_tl.shape[-1]
+    assert T % n_shards == 0
+    Tl = T // n_shards
+
+    states = []
+    shard_totals = []
+    for p in range(n_shards):
+        sl = slice(p * Tl, (p + 1) * Tl)
+        last = p == n_shards - 1
+        if last:
+            fb_last = jnp.zeros((d2,), dtype)
+            qb_last = jnp.zeros((d2,), dtype)
+        else:
+            fb_last = Fs_tl[:, :, (p + 1) * Tl].reshape(d2)
+            qb_last = Qs_tl[:, :, (p + 1) * Tl].reshape(d2)
+        F_st, Q_st, b_st, c_st, fb_v, qb_v, W, Tp, pad = _strip_smoother_prep(
+            Fs_tl[..., sl], Qs_tl[..., sl], b_tl[..., sl], C_tl[..., sl],
+            block, fb_last, qb_last,
+        )
+        scal = jnp.asarray(1.0 if last else 0.0, dtype).reshape(1)
+        totals = _strip_smoother_pass1(
+            scal, F_st, Q_st, b_st, c_st, fb_v, qb_v, d, block, interpret,
+            pad,
+        )
+        local_pref = _strip_exclusive_prefixes(
+            totals[:, :, 0], d, _smooth_combine_rows, ident_rows,
+            reverse=True,
+        )
+        shard_total = jnp.concatenate(
+            _smooth_combine_rows(
+                [local_pref[k : k + 1, 0:1] for k in range(n)],
+                [totals[k : k + 1, 0, 0:1] for k in range(n)],
+                d,
+            ),
+            axis=0,
+        )
+        shard_totals.append(shard_total[:, 0])
+        states.append((scal, F_st, Q_st, b_st, c_st, fb_v, qb_v, totals, Tp,
+                       pad))
+
+    gathered = jnp.stack(shard_totals, axis=1)
+    shard_prefs = _strip_exclusive_prefixes(
+        gathered, d, _smooth_combine_rows, ident_rows, reverse=True
+    )
+    gs, ls = [], []
+    for p, (scal, F_st, Q_st, b_st, c_st, fb_v, qb_v, totals, Tp, pad) in (
+        enumerate(states)
+    ):
+        prefixes = _strip_exclusive_prefixes(
+            totals[:, :, 0], d, _smooth_combine_rows, ident_rows,
+            reverse=True, init=shard_prefs[:, p : p + 1],
+        )
+        g_st, l_st = _strip_smoother_pass2(
+            scal, prefixes, F_st, Q_st, b_st, c_st, fb_v, qb_v, d, block,
+            interpret, pad,
+        )
+        gs.append(g_st.reshape(d, Tp)[:, pad:])
+        ls.append(l_st.reshape(d2, Tp)[:, pad:])
+    g = jnp.concatenate(gs, axis=-1)
+    L = jnp.concatenate(ls, axis=-1).reshape(d, d, T)
+    return g, L
 
 
 def strip_smoother_sharded(

@@ -76,13 +76,20 @@ def main():
         jax.block_until_ready(ssm)
         return ssm, jnp.asarray(y).reshape(-1, 1)
 
-    T = 1_000_000
+    T = int(os.environ.get("DHIGH_T", 1_000_000))
     probe = jnp.zeros((8,), jnp.float32)
     f_empty = jax.jit(lambda x: x + 1.0)
     emit(bench="floor_empty", wall_ms=med(f_empty, probe, reps=8) * 1e3)
+    part = os.environ.get("DHIGH_PART", "all")  # rbf | co2 | all
 
     # ---- 1. d=12 / d=16 (RBF order k), N=1M -------------------------------
-    for d in (12, 16):
+    # (d=16's Pade discretization OOMs at T=1M — dozens of (16,16,T) lane-
+    # plane temps; DHIGH_DS/DHIGH_T shrink the attempt.  A TPU OOM wedges
+    # the client for the rest of the process, so parts run separately.)
+    ds = tuple(
+        int(x) for x in os.environ.get("DHIGH_DS", "12,16").split(",") if x
+    )
+    for d in ds if part in ("rbf", "all") else ():
         kern = RBF(variance=1.0, lengthscales=0.25, order=d, balancing_iter=10)
         try:
             ssm, ys = make(kern, T)
@@ -124,7 +131,8 @@ def main():
 
     kern18 = get_covariance_function(3)
     emit(event="co2_kernel", d=kern18.state_dim)
-    for Tc, label in ((3_192, "T3192"), (1_000_000, "T1M")):
+    co2_sizes = ((3_192, "T3192"), (1_000_000, "T1M"))
+    for Tc, label in co2_sizes if part in ("co2", "all") else ():
         try:
             ssm, ys = make(kern18, Tc, seed=1)
         except Exception as e:  # noqa: BLE001
@@ -148,7 +156,8 @@ def main():
         del ssm, ys
 
     os.makedirs("results", exist_ok=True)
-    with open("results/d_high.json", "w") as fh:
+    suffix = "" if part == "all" else f"_{part}"
+    with open(f"results/d_high{suffix}.json", "w") as fh:
         json.dump(RESULTS, fh, indent=1)
     emit(event="done", n=len(RESULTS))
 

@@ -114,6 +114,25 @@ def main():
         wall_ms=med(lambda p, tt, o: f_tr(p, tt, o)[1], p0, ts_j, ys) * 1e3,
     )
 
+    # dt-engine training step: Fisher VJP with the dt filter forward, dt
+    # smoother backward, planes materialized ONCE in the backward tail.
+    def train_dt(params, tt, o):
+        k = Matern52(params[0], params[1])
+        return lml_dt(k, tt, R, o)
+
+    f_tr_dt = jax.jit(jax.value_and_grad(train_dt))
+    v_p = f_tr(p0, ts_j, ys)
+    v_d = f_tr_dt(p0, ts_j, ys)
+    emit(
+        event="train_grad_parity",
+        grad_plane=[float(x) for x in v_p[1]],
+        grad_dt=[float(x) for x in v_d[1]],
+    )
+    emit(
+        bench="train_step_dt",
+        wall_ms=med(lambda p, tt, o: f_tr_dt(p, tt, o)[1], p0, ts_j, ys) * 1e3,
+    )
+
     os.makedirs("results", exist_ok=True)
     with open("results/dt_10m.json", "w") as fh:
         json.dump(RESULTS, fh, indent=1)

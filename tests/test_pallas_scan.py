@@ -191,3 +191,45 @@ def test_list_schur_inverse_matches_numpy():
             [[float(inv_rows[i][j].reshape(())) for j in range(d)] for i in range(d)]
         )
         npt.assert_allclose(got, la.inv(M), rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_onechip_matches_full():
+    """The one-device executors of the sharded per-shard programs
+    (strip_{filter,smoother}_sharded_onechip — the real-hardware probe of
+    the pod kernel path, VERDICT r3 item 8) against the single-scan fused
+    engine, nontrivial cross-shard prefixes included.  Interpret mode,
+    tiny blocks (CLAUDE.md CPU-interpret cost)."""
+    from parallel_gps_tpu.kalman.pallas_scan import (
+        strip_filter,
+        strip_filter_sharded_onechip,
+        strip_smoother,
+        strip_smoother_sharded_onechip,
+    )
+    from parallel_gps_tpu.kernels import Matern32
+
+    kernel = Matern32(1.1, 0.4)
+    rng = np.random.RandomState(3)
+    T = 384  # 2 shards x 192 (unaligned per shard: exercises pack padding)
+    t = np.sort(rng.rand(T))
+    y = obs_noise(sinu(t), 0.1, 3)
+    y[rng.choice(T, T // 7, replace=False)] = np.nan
+    ssm = kernel.get_ssm_tl(
+        jnp.asarray(t).reshape(-1, 1), jnp.asarray(0.1).reshape(1, 1)
+    )
+    ys = jnp.asarray(y).reshape(-1, 1)
+    b0, C0, ell0 = strip_filter(
+        ssm.Fs, ssm.Qs, ssm.P0, ssm.H, ssm.R, ys, block=16, interpret=True
+    )
+    b1, C1, ell1 = strip_filter_sharded_onechip(
+        ssm.Fs, ssm.Qs, ssm.P0, ssm.H, ssm.R, ys, 2, block=16, interpret=True
+    )
+    npt.assert_allclose(b1, b0, rtol=1e-9, atol=1e-10)
+    npt.assert_allclose(C1, C0, rtol=1e-9, atol=1e-10)
+    npt.assert_allclose(float(ell1), float(ell0), rtol=1e-10)
+
+    g0, L0 = strip_smoother(ssm.Fs, ssm.Qs, b0, C0, block=16, interpret=True)
+    g1, L1 = strip_smoother_sharded_onechip(
+        ssm.Fs, ssm.Qs, b0, C0, 2, block=16, interpret=True
+    )
+    npt.assert_allclose(g1, g0, rtol=1e-8, atol=1e-9)
+    npt.assert_allclose(L1, L0, rtol=1e-8, atol=1e-9)

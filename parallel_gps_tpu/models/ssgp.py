@@ -210,9 +210,12 @@ class StateSpaceGP:
                 # composites) never materialize the (d, d, T) SSM planes —
                 # F/Q are rebuilt in registers from the dt plane, and
                 # gradients ride the dt-engine Fisher VJP
-                # (kalman/pallas_dt.py; measured ~12% faster than the plane
-                # engine at N=10M before counting the discretization the
-                # plane path pays on top, results/dt_10m.json).
+                # (kalman/pallas_dt.py).  Measured at N=10M d=3
+                # (results/dt_10m.json): LML eval 31 ms vs the plane
+                # engine's 41 ms + discretization on top; the full
+                # value_and_grad step is within ~6% of the plane path
+                # (146 vs 138 ms — the dt backward rebuilds the planes
+                # once in XLA for the Fisher tail).
                 from parallel_gps_tpu.kalman.pallas_dt import (
                     dt_strip_align,
                     lml_dt,

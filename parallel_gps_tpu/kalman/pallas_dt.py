@@ -35,7 +35,6 @@ import jax.numpy as jnp
 from jax import Array
 
 from parallel_gps_tpu.kalman.pallas_scan import (
-    DEFAULT_STRIP_BLOCK,
     N_STRIPS,
     _build_filtering_rows,
     _build_smoothing_rows,
@@ -51,17 +50,23 @@ from parallel_gps_tpu.kalman.pallas_scan import (
 )
 
 
+DT_DEFAULT_BLOCK = 512
+
+
 def dt_strip_block(d: int, itemsize: int = 4) -> int:
     """Strip block for the dt-engine: the VMEM-heaviest pass (smoother
     pass 2) streams dt+b+C in (1 + d + d²) and g+L out (d + d²), with ~3
-    live element-row copies in the in-kernel scan — comfortably under the
-    plane engine's footprint, so the measured-best 1024 fits through d=8."""
+    live element-row copies in the in-kernel scan.  Default 512: the
+    round-4 block sweep on hardware (results/grid_overhead.json, N=10M
+    d=3) measured 512 fastest and monotone-worse through 2048 (lml_dt
+    29.7/30.3/30.8 ms, pkfs_dt 44.8/47.3/48.3 ms) — per-grid-step
+    overhead is negligible, so smaller working sets win slightly."""
     n = filt_rows(d)
     per_lane = (2 * (2 + d + d * d + n) + 3 * n) * N_STRIPS * itemsize
     block = 128
     from parallel_gps_tpu.kalman.pallas_scan import VMEM_BUDGET_BYTES
 
-    while block < DEFAULT_STRIP_BLOCK and (block * 2) * per_lane <= VMEM_BUDGET_BYTES:
+    while block < DT_DEFAULT_BLOCK and (block * 2) * per_lane <= VMEM_BUDGET_BYTES:
         block *= 2
     return block
 

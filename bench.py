@@ -81,7 +81,7 @@ def _calibrate_hbm_gbps(floor_s: float) -> float:
 
 
 def _sol_walls(n: int, d: int, hbm_gbps: float, block: int = 1024,
-               dtype_bytes: int = 4):
+               dtype_bytes: int = 4, planes_in: int | None = None):
     """Reference walls for pkfs at T=n: the HBM streaming floor at the given
     bandwidth and the VPU combine-arithmetic floor.
 
@@ -98,7 +98,8 @@ def _sol_walls(n: int, d: int, hbm_gbps: float, block: int = 1024,
     ~8 ms/pass for an EMPTY scan, results/r4_attrib.json).  A combine costs
     ~(8d³ + inv(d) + 6d² + 4d) mul/adds.
     """
-    planes_in = 2 * d * d + 1
+    if planes_in is None:
+        planes_in = 2 * d * d + 1
     planes_out = d * d + d
     t_hbm = (planes_in + planes_out) * n * dtype_bytes / (hbm_gbps * 1e9)
     inv_flops = {1: 2, 2: 14, 3: 50}.get(d, 20 * d * d)
@@ -275,16 +276,67 @@ def main():
 
     kernel = Matern52(0.8, 0.4)
     d = kernel.state_dim
-    ssm, ys, _ = _make(kernel, N, dtype)
+    ssm, ys, ts_j = _make(kernel, N, dtype)
     T_al = ys.shape[0]
 
     f_par = jax.jit(lambda s, o: pkfs_from_tl(s, o, pallas=pallas))
-    t_par, (sms, sPs) = _median_time(f_par, ssm, ys, reps=REPS)
+    t_plane, (sms, sPs) = _median_time(f_par, ssm, ys, reps=REPS)
     finite = bool(jnp.isfinite(sms).all() & jnp.isfinite(sPs).all())
-    tsps_par = T_al / t_par
     f_lml = jax.jit(lambda s, o: lml_tl(s, o, pallas))
     t_lml10, _ = _median_time(f_lml, ssm, ys, reps=REPS)
-    del ssm, ys, sms, sPs
+
+    # Headline = the BEST engine for this kernel — the dt-engine on TPU
+    # (what the model dispatches Matérn kernels to, models/ssgp.py): F/Q
+    # rebuilt in registers from the dt plane, no (d, d, T) planes in HBM
+    # (VERDICT r4 item 6: the headline must reflect what the model ships).
+    engine = "pallas-plane" if pallas else "xla-tl"
+    t_par = t_plane
+    if not on_cpu:
+        from parallel_gps_tpu.kalman.pallas_dt import pkfs_dt
+
+        R10 = jnp.asarray(0.1, dtype).reshape(1, 1)
+        f_dt = jax.jit(lambda tt, o: pkfs_dt(kernel, tt, R10, o))
+        t_dt, (g_dt, L_dt) = _median_time(f_dt, ts_j, ys, reps=REPS)
+        finite_dt = bool(
+            jnp.isfinite(g_dt).all() & jnp.isfinite(L_dt).all()
+        )
+        del g_dt, L_dt
+        if finite_dt and t_dt < t_par:
+            t_par, finite, engine = t_dt, finite_dt, "pallas-dt"
+    tsps_par = T_al / t_par
+
+    # Model-API rows (align → dispatch → dt routing — what users get):
+    # LML and the full training step (value_and_grad incl. discretization)
+    # through StateSpaceGP, driver-visible so model-dispatch regressions
+    # show up in BENCH_r{N}.json.
+    model_rows = {}
+    try:
+        from parallel_gps_tpu.models import StateSpaceGP
+
+        t_np = np.asarray(ts_j[:, 0])
+        y_np = np.asarray(ys[:, 0])
+        model = StateSpaceGP.create((t_np, y_np), kernel, 0.1)
+        t_mlml, _ = _median_time(
+            lambda m: m.log_marginal_likelihood(), model,
+            reps=3 if on_cpu else REPS,
+        )
+        model_rows["model_lml_ms"] = round(t_mlml * 1e3, 2)
+
+        def _loss(p):
+            m = StateSpaceGP.create(
+                (t_np, y_np), Matern52(p[0], p[1]), p[2]
+            )
+            return m.training_loss()
+
+        f_tr = jax.jit(jax.value_and_grad(_loss))
+        p0 = jnp.asarray([0.8, 0.4, 0.1], dtype)
+        t_mtr, _ = _median_time(
+            lambda p: f_tr(p)[1], p0, reps=3 if on_cpu else REPS
+        )
+        model_rows["model_train_step_ms"] = round(t_mtr * 1e3, 2)
+    except Exception as e:  # noqa: BLE001 — model rows must not kill the headline
+        model_rows["model_error"] = str(e)[:200]
+    del ssm, ys, ts_j, sms, sPs
 
     # Baseline: sequential engine, extrapolated per-step (see docstring).
     # The sequential engine consumes the reference (T, d, d) layout.
@@ -307,8 +359,11 @@ def main():
     # measured-bandwidth HBM floor, the theoretical-bandwidth HBM floor, and
     # the VPU combine model.
     t_dev = max(t_par - t_floor, 1e-9)
-    t_hbm_meas, t_vpu = _sol_walls(T_al, d, hbm_meas)
-    t_hbm_theory, _ = _sol_walls(T_al, d, HBM_GBPS_THEORY)
+    # Perfect-fusion input planes: the dt-engine reads (dt, y) only — the
+    # SSM planes never exist in HBM.
+    p_in = 2 if engine == "pallas-dt" else None
+    t_hbm_meas, t_vpu = _sol_walls(T_al, d, hbm_meas, planes_in=p_in)
+    t_hbm_theory, _ = _sol_walls(T_al, d, HBM_GBPS_THEORY, planes_in=p_in)
 
     extras = {}
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
@@ -319,6 +374,10 @@ def main():
     extras["lml_N10M_ms" if not on_cpu else "lml_N1M_plane_ms"] = round(
         t_lml10 * 1e3, 2
     )
+    extras["pkfs_plane_N10M_ms" if not on_cpu else "pkfs_plane_N1M_ms"] = (
+        round(t_plane * 1e3, 2)
+    )
+    extras.update(model_rows)
 
     print(
         json.dumps(
@@ -340,7 +399,7 @@ def main():
                 "sol_fraction_hbm_measured": round(t_hbm_meas / t_dev, 4),
                 "sol_fraction_hbm_theory": round(t_hbm_theory / t_dev, 4),
                 "sol_fraction_vpu": round(t_vpu / t_dev, 4),
-                "engine": "pallas" if pallas else "xla-tl",
+                "engine": engine,
                 "device": str(jax.devices()[0].platform),
                 "extras": extras,
             }

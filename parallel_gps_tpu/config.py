@@ -54,6 +54,30 @@ def set_fused_max_d(d: int) -> None:
     FUSED_MAX_D = int(d)
 
 
+# Test hook: force the model layer's fused-engine dispatch on non-TPU
+# backends, running every Pallas kernel in interpret mode.  This gives the
+# model's dt-engine/strip branches (models/ssgp.py::_lml_impl,
+# _predict_f_impl — alignment arithmetic, coeff plumbing, moveaxis
+# conventions) off-TPU test coverage; keep blocks tiny (CPU interpret cost
+# explodes with the unrolled kernel-body size, CLAUDE.md).
+PALLAS_INTERPRET: bool = False
+
+
+def set_pallas_interpret(enabled: bool) -> None:
+    """Force fused-engine dispatch with interpret-mode kernels (tests)."""
+    global PALLAS_INTERPRET
+    PALLAS_INTERPRET = bool(enabled)
+
+
+def pallas_interpret_overrides(block, interpret):
+    """Applied by the fused-kernel entry points: under the
+    ``PALLAS_INTERPRET`` test hook, force interpret mode and a tiny strip
+    block (unless the caller pinned one).  Identity otherwise."""
+    if PALLAS_INTERPRET:
+        return (16 if block is None else block), True
+    return block, interpret
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache.
 

@@ -40,11 +40,17 @@ from parallel_gps_tpu.kalman.pallas_scan import (
     _build_smoothing_rows,
     _filt_combine_rows,
     _ident_rows_list,
+    _inv,
+    _mm,
+    _mm_symout,
+    _mt,
+    _mv,
     _roll,
     _smooth_combine_rows,
     _strip_block_total,
     _strip_chunked_scan,
     _strip_exclusive_prefixes,
+    _vsub,
     filt_rows,
     smooth_rows,
 )
@@ -95,13 +101,14 @@ def zsum(terms):
     return out
 
 
-def _dt_build_fq(scal_ref, dt, d, build, coef_off, n_coef):
-    """In-kernel F/Q row construction from a dt tile + SMEM coefficients
-    (see module docstring; math = ops/disc.py:90-106).  ``build`` may return
-    None entries (structural zeros — Sum block-diagonals, Periodic's j=0
-    rotation plane); the sparse M/Q arithmetic skips them and the returned
-    F/Q rows are dense arrays."""
-    c = [scal_ref[coef_off + k] for k in range(n_coef)]
+def _build_fq_pure(c, P0v, dt, d, build):
+    """Pure-array F/Q construction from coefficient scalars, stationary
+    covariance scalars, and a dt tile (math = ops/disc.py:90-106).  ``build``
+    may return None entries (structural zeros — Sum block-diagonals,
+    Periodic's j=0 rotation plane); the sparse M/Q arithmetic skips them and
+    the returned F/Q rows are dense arrays.  Kept free of Refs so the
+    dt-native backward can ``jax.vjp`` through it in-kernel
+    (_dt_fisher_kernel)."""
     Am1 = build(c, dt)
     zero = jnp.zeros_like(dt)
     F = [
@@ -113,7 +120,6 @@ def _dt_build_fq(scal_ref, dt, d, build, coef_off, n_coef):
         ]
         for i in range(d)
     ]
-    P0v = [[scal_ref[i * d + j] for j in range(d)] for i in range(d)]
     M = [
         [
             zsum([zmul(Am1[i][k], P0v[k][j]) for k in range(d)])
@@ -131,6 +137,15 @@ def _dt_build_fq(scal_ref, dt, d, build, coef_off, n_coef):
             v = zero if s is None else -s
             Q[i][j] = v
             Q[j][i] = v
+    return F, Q
+
+
+def _dt_build_fq(scal_ref, dt, d, build, coef_off, n_coef):
+    """In-kernel F/Q row construction from a dt tile + SMEM coefficients
+    (see _build_fq_pure; SMEM layout documented at each call site)."""
+    c = [scal_ref[coef_off + k] for k in range(n_coef)]
+    P0v = [[scal_ref[i * d + j] for j in range(d)] for i in range(d)]
+    F, Q = _build_fq_pure(c, P0v, dt, d, build)
     return F, Q, P0v
 
 
@@ -401,7 +416,11 @@ def strip_filter_dt(
     MCMC/GP stacks stay on a fused path even through the dt-engine entry."""
     from jax.custom_batching import custom_vmap
 
-    if block is None:
+    from parallel_gps_tpu import config
+
+    block, interpret = config.pallas_interpret_overrides(block, interpret)
+    auto_block = block is None
+    if auto_block:
         block = dt_strip_block(P0.shape[0], jnp.dtype(P0.dtype).itemsize)
 
     @custom_vmap
@@ -412,12 +431,25 @@ def strip_filter_dt(
 
     @op.def_vmap
     def _rule(axis_size, in_batched, coeffs_, P0_, H_, R_, dts_, ys_):  # noqa: ANN001
-        from parallel_gps_tpu.kalman.pallas_scan import strip_filter
+        from parallel_gps_tpu.kalman.pallas_scan import (
+            pick_strip_block,
+            strip_filter,
+        )
+
+        # The plane kernels pick their own measured-best block when this
+        # entry auto-picked the dt-tuned one (512): the dt cap was only
+        # swept for the unbatched dt kernels (ADVICE r4).  An explicitly
+        # pinned block (tests, sweeps) still wins.
+        pb = (
+            pick_strip_block(P0_.shape[-1], jnp.dtype(P0_.dtype).itemsize)
+            if auto_block
+            else block
+        )
 
         def one(co, p0, h, r, dt, y):
             Fs, Qs, P0s = build_planes_tl(build, co, p0, dt)
             return strip_filter(
-                Fs, Qs, P0s, h, r, y, block=block, interpret=interpret
+                Fs, Qs, P0s, h, r, y, block=pb, interpret=interpret
             )
 
         axes = tuple(0 if b else None for b in in_batched)
@@ -723,7 +755,11 @@ def strip_smoother_dt(
     Vmappable via plane materialization (see strip_filter_dt)."""
     from jax.custom_batching import custom_vmap
 
-    if block is None:
+    from parallel_gps_tpu import config
+
+    block, interpret = config.pallas_interpret_overrides(block, interpret)
+    auto_block = block is None
+    if auto_block:
         block = dt_strip_block(b_tl.shape[0], jnp.dtype(b_tl.dtype).itemsize)
 
     @custom_vmap
@@ -734,12 +770,21 @@ def strip_smoother_dt(
 
     @op.def_vmap
     def _rule(axis_size, in_batched, coeffs_, P0_, dts_, b_, C_):  # noqa: ANN001
-        from parallel_gps_tpu.kalman.pallas_scan import strip_smoother
+        from parallel_gps_tpu.kalman.pallas_scan import (
+            pick_strip_block,
+            strip_smoother,
+        )
+
+        pb = (
+            pick_strip_block(P0_.shape[-1], jnp.dtype(P0_.dtype).itemsize)
+            if auto_block
+            else block
+        )
 
         def one(co, p0, dt, b__, c__):
             Fs, Qs, _ = build_planes_tl(build, co, p0, dt)
             return strip_smoother(
-                Fs, Qs, b__, c__, block=block, interpret=interpret
+                Fs, Qs, b__, c__, block=pb, interpret=interpret
             )
 
         axes = tuple(0 if b else None for b in in_batched)
@@ -779,6 +824,299 @@ def _strip_smoother_dt_impl(
     g_tl = g_st.reshape(d, Tp)[:, pad:]
     L_tl = l_st.reshape(d2, Tp)[:, pad:].reshape(d, d, T)
     return g_tl, L_tl
+
+
+# --------------------------------------------------------------------------
+# dt-native backward: fused Fisher tail
+# --------------------------------------------------------------------------
+
+
+def _dt_fisher_kernel(
+    scal_ref, bnd_ref, dt_ref, b_ref, c_ref, g_ref, l_ref, y_ref, mask_ref,
+    ddt_out, dy_out, acc_out, carry_ref, acc_ref, *, d, build, n_coef,
+):
+    """Fused Fisher-identity gradient tail (the dt-native backward).
+
+    Computes, in ONE forward grid pass with F/Q rebuilt in registers from the
+    dt plane, the cancellation-free Fisher cotangents of
+    kalman/timelast.py::fisher_grads_from_smoothed —
+
+        ∇Q_k = ½ (Pp⁻¹ D Pp⁻¹ + r rᵀ),  r_k = Pp_k⁻¹ δ_k
+        ∇F_k = r_k m̂_{k−1}ᵀ + Pp⁻¹ D E_{k−1}ᵀ,  E_{k−1} = P_{k−1}F_kᵀPp_k⁻¹
+        ∇P0  = F₀ᵀ (∇Q)₀ F₀  (+ the P∞-in-Q build dependence via the vjp)
+
+    — and chains ∇F/∇Q straight to (coeffs, P0, dts) with ``jax.vjp`` of the
+    in-register build (_build_fq_pure) INSIDE the kernel body (Pallas traces
+    plain JAX, and the transposed ops are all elementwise), accumulating the
+    scalar cotangents in SMEM across grid steps.  The tail is scan-free:
+    every quantity is elementwise in k apart from one-lane backward shifts
+    (m_{k−1}, P_{k−1}, m̂_{k−1}), supplied by the grid carry within a strip
+    and by precomputed boundary columns across strips.  The (d, d, T) planes
+    of the round-4 backward (build_planes_tl + XLA tail: ~4 extra full-size
+    HBM pass groups) never exist.
+
+    SMEM scal layout (shared with the dt filter): [P0 (d²) | h (d) | r |
+    first_flag | coeffs].  Accumulator layout: [d_coeffs (n_coef) |
+    d_P0 (d²) | d_H (d) | d_R].
+    """
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    nB = pl.num_programs(0)
+    d2 = d * d
+    S, Lb = dt_ref.shape[1], dt_ref.shape[2]
+    dtype = dt_ref.dtype
+    n_acc = n_coef + d2 + d + 1
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(n_acc):
+            acc_ref[k] = jnp.zeros((), dtype)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, Lb), 0)
+    lane0 = lane == 0
+    first_here = jnp.logical_and(i == 0, scal_ref[d2 + d + 1] > 0.0)
+    is_first = jnp.logical_and(
+        jnp.logical_and(sub == 0, lane0), jnp.full((S, Lb), first_here)
+    )
+
+    dt = dt_ref[0]
+    y = y_ref[0]
+    maskf = mask_ref[0]
+    h = [scal_ref[d2 + k] for k in range(d)]
+    r = scal_ref[d2 + d]
+
+    b_rows = [b_ref[a] for a in range(d)]
+    c_rows = [c_ref[a] for a in range(d2)]
+    g_rows = [g_ref[a] for a in range(d)]
+    l_rows = [l_ref[a] for a in range(d2)]
+
+    # One-lane backward shifts: lane 0 comes from the previous block's last
+    # column (carry) — or, at block 0, from the cross-strip boundary input.
+    def prev_plane(row_k, cur):
+        col = jnp.where(
+            i == 0, bnd_ref[row_k, :, 0:1], carry_ref[row_k, :, 0:1]
+        )
+        return jnp.where(
+            lane0, jnp.broadcast_to(col, (S, Lb)), _roll(cur, 1, False)
+        )
+
+    m_prev = [prev_plane(a, b_rows[a]) for a in range(d)]
+    P_prev = [
+        [prev_plane(d + a * d + c_, c_rows[a * d + c_]) for c_ in range(d)]
+        for a in range(d)
+    ]
+    gh_prev = [prev_plane(d + d2 + a, g_rows[a]) for a in range(d)]
+
+    # In-register F/Q build under jax.vjp: primals for the Fisher algebra,
+    # vjp_fn for the (coeffs, P0, dt) chain rule below.
+    c_tup = tuple(scal_ref[d2 + d + 2 + k] for k in range(n_coef))
+    p0_tup = tuple(scal_ref[k] for k in range(d2))
+
+    def tile_fn(ct, pt, dtt):
+        P0v_ = [[pt[a * d + c_] for c_ in range(d)] for a in range(d)]
+        F_, Q_ = _build_fq_pure(list(ct), P0v_, dtt, d, build)
+        return tuple(tuple(row) for row in F_), tuple(tuple(row) for row in Q_)
+
+    (F_t, Q_t), vjp_fn = jax.vjp(tile_fn, c_tup, p0_tup, dt)
+    F = [list(row) for row in F_t]
+    Q = [list(row) for row in Q_t]
+    P0v = [[scal_ref[a * d + c_] for c_ in range(d)] for a in range(d)]
+
+    # Global-first element: m₋₁ = 0, P₋₁ = P∞ (the E_prev formula below then
+    # yields the pre-initial gain E₋₁ = P0 F0ᵀ Pp0⁻¹ of the XLA tail).
+    zero = jnp.zeros((S, Lb), dtype)
+    m_prev = [jnp.where(is_first, zero, m_prev[a]) for a in range(d)]
+    P_prev = [
+        [jnp.where(is_first, P0v[a][c_], P_prev[a][c_]) for c_ in range(d)]
+        for a in range(d)
+    ]
+
+    mhat = g_rows
+    Phat = [[l_rows[a * d + c_] for c_ in range(d)] for a in range(d)]
+    mp = _mv(F, m_prev, d)
+    FP = _mm(F, P_prev, d)
+    Pp = _mm_symout(FP, F, Q, d)  # F P_prev Fᵀ + Q (upper-triangle aliased)
+    Ppinv = _inv(Pp, d)
+    delta = _vsub(mhat, mp, d)
+    rk = _mv(Ppinv, delta, d)
+    Dk = [[Phat[a][c_] - Pp[a][c_] for c_ in range(d)] for a in range(d)]
+    PiD = _mm(Ppinv, Dk, d)
+    PiDPi = _mm(PiD, Ppinv, d)
+    dQ = [
+        [0.5 * (PiDPi[a][c_] + rk[a] * rk[c_]) for c_ in range(d)]
+        for a in range(d)
+    ]
+    E_prev = _mm(_mm(P_prev, _mt(F, d), d), Ppinv, d)
+    Em_mhat = _mv(E_prev, mhat, d)
+    mh_prev = [
+        jnp.where(is_first, Em_mhat[a], gh_prev[a]) for a in range(d)
+    ]
+    dF = [
+        [
+            rk[a] * mh_prev[c_]
+            + sum(PiD[a][k2] * E_prev[c_][k2] for k2 in range(d))
+            for c_ in range(d)
+        ]
+        for a in range(d)
+    ]
+
+    # ∇P0 closed-form first-lane term F₀ᵀ (∇Q)₀ F₀.
+    dP0f = _mm(_mm(_mt(F, d), dQ, d), F, d)
+
+    # Chain ∇F/∇Q to (coeffs, P0, dts).  At padded lanes (dt = 0) the build
+    # has exactly zero derivative w.r.t. every coefficient and P∞ entry, so
+    # the scalar accumulators see no pad contamination; the d_dt plane at
+    # pads is discarded by the [:T] slice outside.
+    dF_t = tuple(tuple(row) for row in dF)
+    dQ_t = tuple(tuple(row) for row in dQ)
+    d_c_tup, d_p0_tup, d_dt = vjp_fn((dF_t, dQ_t))
+
+    # Observation terms (masked), as in the XLA tail.
+    Hm = sum(h[k2] * mhat[k2] for k2 in range(d))
+    resid = y - Hm
+    HPhat = [
+        sum(h[k2] * Phat[k2][c_] for k2 in range(d)) for c_ in range(d)
+    ]
+    HPH = sum(h[c_] * HPhat[c_] for c_ in range(d))
+    Nk = resid * resid + HPH
+    dy = jnp.where(maskf > 0, -resid / r, 0.0)
+
+    ddt_out[:] = d_dt[None]
+    dy_out[:] = dy[None]
+
+    for k in range(n_coef):
+        acc_ref[k] = acc_ref[k] + d_c_tup[k]
+    for idx in range(d2):
+        a, c_ = divmod(idx, d)
+        acc_ref[n_coef + idx] = (
+            acc_ref[n_coef + idx]
+            + d_p0_tup[idx]
+            + jnp.sum(jnp.where(is_first, dP0f[a][c_], 0.0))
+        )
+    for a in range(d):
+        acc_ref[n_coef + d2 + a] = acc_ref[n_coef + d2 + a] + jnp.sum(
+            maskf * (resid * mhat[a] - HPhat[a])
+        ) / r
+    acc_ref[n_coef + d2 + d] = acc_ref[n_coef + d2 + d] + jnp.sum(
+        0.5 * maskf * (Nk / (r * r) - 1.0 / r)
+    )
+
+    # Stash this block's last columns for the next block's shifts (all uses
+    # of the carry happen above, so this write must stay last).
+    last = [
+        row[:, Lb - 1 : Lb] for row in (b_rows + c_rows + g_rows)
+    ]
+    carry_ref[:] = jnp.broadcast_to(
+        jnp.stack(last, axis=0), carry_ref.shape
+    )
+
+    @pl.when(i == nB - 1)
+    def _():
+        for k in range(n_acc):
+            acc_out[k] = acc_ref[k]
+
+
+def _dt_fisher(
+    build, coeffs, P0, H, R, dts, observations, b_tl, C_tl, g_tl, L_tl,
+    block, interpret,
+):
+    """Run the fused Fisher-tail kernel; returns
+    (d_coeffs, d_P0 (d,d, unsymmetrized), d_H (1,d), d_R (1,1),
+    d_dts (T,), d_y like observations) — all UNSCALED by the output
+    cotangent (the caller folds gbar)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from parallel_gps_tpu import config
+
+    d = P0.shape[0]
+    d2 = d * d
+    T = dts.shape[-1]
+    S = N_STRIPS
+    dtype = P0.dtype
+    block, interpret = config.pallas_interpret_overrides(block, interpret)
+    if block is None:
+        block = dt_strip_block(d, jnp.dtype(dtype).itemsize)
+    n_coef = coeffs.shape[0]
+    n_acc = n_coef + d2 + d + 1
+
+    scal, dt_st, y_st, m_st, W, Tp = _dt_filter_prep(
+        dts, P0, H, R, observations, coeffs, block, 1.0
+    )
+
+    # Strip-pack the moment planes.  End pads: b/g → 0 and C/L → I, so padded
+    # lanes stay finite (Pp = P_prev = I under dt = 0) with exactly-zero
+    # Fisher cotangents where it matters (see kernel docstring).
+    eye_col = jnp.eye(d, dtype=dtype).reshape(d2, 1)
+
+    def pack(x, fill):
+        if Tp != T:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(fill, x.shape[:-1] + (Tp - T,))], axis=-1
+            )
+        return x.reshape(x.shape[0], S, W)
+
+    b_st = pack(b_tl, jnp.zeros((d, 1), dtype))
+    c_st = pack(C_tl.reshape(d2, T), eye_col)
+    g_st = pack(g_tl, jnp.zeros((d, 1), dtype))
+    l_st = pack(L_tl.reshape(d2, T), eye_col)
+
+    # Cross-strip boundary columns: strip s's first lane shifts from strip
+    # s−1's last lane (strip 0 is the global-first special case, masked).
+    mom = jnp.concatenate([b_st, c_st, g_st], axis=0)  # (2d+d², S, W)
+    nbr = 2 * d + d2
+    bnd = jnp.concatenate(
+        [jnp.zeros((nbr, 1), dtype), mom[:, :-1, W - 1]], axis=1
+    )
+    bnd_v = jnp.broadcast_to(bnd[:, :, None], (nbr, S, 128))
+
+    B = W // block
+    mk = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, S, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    cst = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, S, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    ddt_st, dy_st, acc = pl.pallas_call(
+        partial(_dt_fisher_kernel, d=d, build=build, n_coef=n_coef),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            cst(nbr),
+            mk(1),
+            mk(d),
+            mk(d2),
+            mk(d),
+            mk(d2),
+            mk(1),
+            mk(1),
+        ],
+        out_specs=(
+            mk(1),
+            mk(1),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, S, W), dtype),
+            jax.ShapeDtypeStruct((1, S, W), dtype),
+            jax.ShapeDtypeStruct((n_acc,), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nbr, S, 128), dtype),
+            pltpu.SMEM((n_acc,), dtype),
+        ],
+        interpret=interpret,
+    )(scal, bnd_v, dt_st, b_st, c_st, g_st, l_st, y_st, m_st)
+
+    d_coeffs = acc[:n_coef]
+    d_P0 = acc[n_coef : n_coef + d2].reshape(d, d)
+    d_H = acc[n_coef + d2 : n_coef + d2 + d].reshape(1, d)
+    d_R = acc[n_coef + d2 + d].reshape(1, 1)
+    d_dts = ddt_st.reshape(Tp)[:T]
+    d_y = dy_st.reshape(Tp)[:T].reshape(observations.shape)
+    return d_coeffs, d_P0, d_H, d_R, d_dts, d_y
 
 
 # --------------------------------------------------------------------------
@@ -886,22 +1224,22 @@ def _lml_dt_core_fwd(build, coeffs, P0, H, R, dts, observations, block,
 
 
 def _lml_dt_core_bwd(build, block, interpret, residuals, gbar):
-    from parallel_gps_tpu.kalman.timelast import fisher_grads_from_smoothed
-    from parallel_gps_tpu.types import LGSSMTL
-
     coeffs, P0, H, R, dts, observations, b_tl, C_tl = residuals
     g_tl, L_tl = strip_smoother_dt(
         build, coeffs, P0, dts, b_tl, C_tl, block=block, interpret=interpret
     )
-    (Fs, Qs, P0s), vjp_fn = jax.vjp(
-        lambda c, p, dt: build_planes_tl(build, c, p, dt), coeffs, P0, dts
+    d_coeffs, d_P0, d_H, d_R, d_dts, d_y = _dt_fisher(
+        build, coeffs, P0, H, R, dts, observations, b_tl, C_tl, g_tl, L_tl,
+        block, interpret,
     )
-    ssm = LGSSMTL(P0s, Fs, Qs, H, R)
-    ct_ssm, ct_y = fisher_grads_from_smoothed(
-        ssm, observations, b_tl, C_tl, g_tl, L_tl, gbar
+    # The P∞ cotangent contracts downstream with the symmetric output of
+    # solve_lyap_vec; distribute it symmetrically (as the round-4
+    # build_planes_tl chain did via symmetrize).
+    d_P0 = 0.5 * (d_P0 + d_P0.T)
+    g = gbar.astype(P0.dtype)
+    return (
+        g * d_coeffs, g * d_P0, g * d_H, g * d_R, g * d_dts, g * d_y
     )
-    d_coeffs, d_P0, d_dts = vjp_fn((ct_ssm.Fs, ct_ssm.Qs, ct_ssm.P0))
-    return (d_coeffs, d_P0, ct_ssm.H, ct_ssm.R, d_dts, ct_y)
 
 
 _lml_dt_core.defvjp(_lml_dt_core_fwd, _lml_dt_core_bwd)

@@ -1,0 +1,282 @@
+"""Square-root (Cholesky-factor) parallel Kalman filter — f32 stability
+prototype (VERDICT r4 item 5b).
+
+The standard filtering-element combine (kalman/parallel.py::filtering_operator,
+reference pssgp/kalman/parallel.py:100-118) subtracts covariance products
+(C = Q − KᵀHQ, two (I + C1J2)-solves), which is where d ≳ 12 f32 runs lose
+positive-definiteness and go NaN (BASELINE.md d>8 battery).  Here the
+elements carry triangular FACTORS instead:
+
+    (A, b, U, Z, eta)   with   C = U Uᵀ,   J = Z Zᵀ,
+
+and the combine reconstructs everything from two Cholesky factorizations of
+GRAM matrices that are ≥ I by construction —
+
+    Ψ = I + U1ᵀ J2 U1 = I + Yᵀ Y,      Y = Z2ᵀ U1,
+    Φ = I + Z2ᵀ C1 Z2 = I + Y Yᵀ,
+
+(eigenvalues ≥ 1 ⇒ chol never fails, condition ≤ 1 + ‖Y‖²) — plus
+QR-based triangularizations (`tria`) whose results are PSD factors by
+construction.  Derivation: apply Woodbury to Lemma 7/8 of Särkkä &
+García-Fernández (arXiv 1905.13002):
+
+    (I + C1J2)⁻¹C1 = U1 Ψ⁻¹ U1ᵀ                  → C  = tria([A2U1S⁻ᵀ, U2])
+    (I + J2C1)⁻¹J2 = Z2 Φ⁻¹ Z2ᵀ                  → J  = tria([A1ᵀZ2T⁻ᵀ, Z1])
+    (I + C1J2)⁻¹   = I − U1 Ψ⁻¹ Yᵀ Z2ᵀ
+    (I + J2C1)⁻¹   = I − Z2 Φ⁻¹ Y U1ᵀ
+
+with S = chol(Ψ), T = chol(Φ).  This is the square-root associative-filter
+family of Yaghoobi–Corenflos–Hassan–Särkkä ("Parallel square-root solutions
+for Bayesian smoothers", arXiv 2207.00426) re-derived in the repo's element
+convention.  Element construction uses Joseph-form factor updates, and
+process-noise factors come from an eigh-based PSD square root (zero-clamped:
+exact for the singular Q of deterministic oscillator components, no chol-NaN
+at tiny dt).
+
+Scope (prototype): generic time-first layout, full-rank d×d factors,
+filter + post-hoc LML; the smoother and the fused-kernel layouts keep the
+standard engines.  ~2-3× the flops of the standard combine (QRs) — this
+trades speed for the reference's f64 stability axis staying on-chip.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from parallel_gps_tpu.ops.linalg import mvn_logpdf, solve_small
+from parallel_gps_tpu.ops.scan import blocked_associative_scan
+from parallel_gps_tpu.types import LGSSM
+
+
+class SqrtFilteringElement(NamedTuple):
+    A: Array  # (..., d, d)
+    b: Array  # (..., d)
+    U: Array  # (..., d, d)  C = U Uᵀ
+    Z: Array  # (..., d, d)  J = Z Zᵀ
+    eta: Array  # (..., d)
+
+
+def tria(M: Array) -> Array:
+    """Lower-triangular L with L Lᵀ = M Mᵀ for M (..., d, k), k ≥ d, via QR
+    of Mᵀ (the square-root filtering primitive)."""
+    R = jnp.linalg.qr(jnp.swapaxes(M, -1, -2), mode="r")
+    return jnp.swapaxes(R, -1, -2)
+
+
+def _bcat(a: Array, b: Array) -> Array:
+    """Concatenate along the last axis with batch-dims broadcasting (the
+    blocked scan combines (B, 1, …) prefixes against (B, n, …) elements —
+    plain concatenate requires equal batch shapes)."""
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, shape + (a.shape[-1],))
+    b = jnp.broadcast_to(b, shape + (b.shape[-1],))
+    return jnp.concatenate([a, b], axis=-1)
+
+
+def psd_sqrt(M: Array) -> Array:
+    """Symmetric PSD square root via eigh with zero-clamped eigenvalues —
+    never NaNs (unlike chol) for singular or roundoff-indefinite PSD inputs
+    (tiny-dt Q, deterministic Periodic components)."""
+    w, V = jnp.linalg.eigh(0.5 * (M + jnp.swapaxes(M, -1, -2)))
+    return V * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :] @ jnp.swapaxes(
+        V, -1, -2
+    )
+
+
+def _mv(M: Array, v: Array) -> Array:
+    return (M @ v[..., None])[..., 0]
+
+
+def _chol_solve(L: Array, B: Array) -> Array:
+    """(L Lᵀ)⁻¹ B for lower-triangular L, batched."""
+    from jax.scipy.linalg import solve_triangular
+
+    y = solve_triangular(L, B, lower=True)
+    return solve_triangular(jnp.swapaxes(L, -1, -2), y, lower=False)
+
+
+def _tri_solve_t(L: Array, B: Array) -> Array:
+    """B L⁻ᵀ for lower-triangular L, batched: (L⁻¹ Bᵀ)ᵀ."""
+    from jax.scipy.linalg import solve_triangular
+
+    return jnp.swapaxes(
+        solve_triangular(L, jnp.swapaxes(B, -1, -2), lower=True), -1, -2
+    )
+
+
+def sqrt_filtering_identity(d: int, dtype) -> SqrtFilteringElement:
+    return SqrtFilteringElement(
+        A=jnp.eye(d, dtype=dtype),
+        b=jnp.zeros((d,), dtype),
+        U=jnp.zeros((d, d), dtype),
+        Z=jnp.zeros((d, d), dtype),
+        eta=jnp.zeros((d,), dtype),
+    )
+
+
+def sqrt_filtering_operator(
+    elem1: SqrtFilteringElement, elem2: SqrtFilteringElement
+) -> SqrtFilteringElement:
+    """Associative combine in square-root form (module docstring math)."""
+    A1, b1, U1, Z1, eta1 = elem1
+    A2, b2, U2, Z2, eta2 = elem2
+    d = A1.shape[-1]
+    I = jnp.eye(d, dtype=A1.dtype)
+
+    Y = jnp.swapaxes(Z2, -1, -2) @ U1  # (.., d, d)
+    Yt = jnp.swapaxes(Y, -1, -2)
+    S = jnp.linalg.cholesky(I + Yt @ Y)  # chol(Ψ), eigs ≥ 1
+    T = jnp.linalg.cholesky(I + Y @ Yt)  # chol(Φ)
+
+    w = _mv(jnp.swapaxes(U1, -1, -2), eta2)
+    v = _mv(jnp.swapaxes(Z2, -1, -2), b1)
+
+    # A = A2 (A1 − U1 Ψ⁻¹ Yᵀ Z2ᵀ A1),  b = A2 (b1 + U1 Ψ⁻¹ (w − Yᵀv)) + b2
+    Xa = jnp.swapaxes(Z2, -1, -2) @ A1
+    A = A2 @ (A1 - U1 @ _chol_solve(S, Yt @ Xa))
+    b = _mv(A2, b1 + _mv(U1, _chol_solve(S, (w - _mv(Yt, v))[..., None])[..., 0])) + b2
+
+    # U = tria([A2 U1 S⁻ᵀ, U2])
+    U = tria(_bcat(_tri_solve_t(S, A2 @ U1), U2))
+
+    # Z = tria([A1ᵀ Z2 T⁻ᵀ, Z1]);  A1ᵀZ2 T⁻ᵀ = (T⁻¹ Z2ᵀ A1)ᵀ
+    from jax.scipy.linalg import solve_triangular
+
+    Z = tria(
+        _bcat(
+            jnp.swapaxes(solve_triangular(T, Xa, lower=True), -1, -2), Z1
+        )
+    )
+
+    # η = A1ᵀ (arg − Z2 Φ⁻¹ Y (w − Yᵀ v)) + η1,  arg = η2 − Z2 v
+    arg = eta2 - _mv(Z2, v)
+    corr = _mv(Z2, _chol_solve(T, _mv(Y, w - _mv(Yt, v))[..., None])[..., 0])
+    eta = _mv(jnp.swapaxes(A1, -1, -2), arg - corr) + eta1
+
+    return SqrtFilteringElement(A=A, b=b, U=U, Z=Z, eta=eta)
+
+
+def make_sqrt_filtering_elements(
+    lgssm: LGSSM, observations: Array
+) -> SqrtFilteringElement:
+    """Square-root per-step elements (cf. parallel.make_filtering_elements),
+    with Joseph-form covariance factors:
+
+        C = (I − KᵀH) Q (I − KᵀH)ᵀ + Kᵀ R K   →  U = tria([(I−KᵀH)√Q, Kᵀ√R])
+    """
+    P0, Fs, Qs, H, R = lgssm
+    dtype = P0.dtype
+    d = P0.shape[0]
+    m = H.shape[0]
+    T = Fs.shape[0]
+    m0 = jnp.zeros((d,), dtype)
+    I = jnp.eye(d, dtype=dtype)
+
+    ys = observations.reshape(T, m)
+    mask = jnp.logical_not(jnp.any(jnp.isnan(ys), axis=-1))
+    y = jnp.where(mask[:, None], jnp.nan_to_num(ys), 0.0)
+
+    sqQ = psd_sqrt(Qs)  # (T, d, d)
+    sqR = psd_sqrt(R)  # (m, m)
+
+    HQ = H[None] @ Qs
+    S = HQ @ H.T + R
+    Kt = jnp.swapaxes(solve_small(S, HQ), -1, -2)  # (T, d, m): Kᵀ as (d, m)
+    HF = H[None] @ Fs
+    IKH = I[None] - Kt @ H[None]
+
+    A_ok = IKH @ Fs
+    b_ok = _mv(Kt, y)
+    U_ok = tria(jnp.concatenate([IKH @ sqQ, Kt @ sqR.T], axis=-1))
+    # J = (HF)ᵀ S⁻¹ (HF) → Z columns (HF)ᵀ chol(S)⁻ᵀ, zero-padded to d
+    cS = jnp.linalg.cholesky(S)
+    Zcols = _tri_solve_t(cS, jnp.swapaxes(HF, -1, -2))  # (T, d, m)
+    Z_ok = jnp.concatenate([Zcols, jnp.zeros((T, d, d - m), dtype)], axis=-1)
+    eta_ok = _mv(jnp.swapaxes(HF, -1, -2), solve_small(S, y[..., None])[..., 0])
+
+    m3 = mask[:, None, None]
+    m2 = mask[:, None]
+    A = jnp.where(m3, A_ok, Fs)
+    b = jnp.where(m2, b_ok, 0.0)
+    U = jnp.where(m3, U_ok, sqQ)
+    Z = jnp.where(m3, Z_ok, 0.0)
+    eta = jnp.where(m2, eta_ok, 0.0)
+
+    # First element: update against (m0, P0) (reference parallel.py:13-43).
+    sqP0 = psd_sqrt(P0)
+    S1 = H @ P0 @ H.T + R
+    K1t = jnp.swapaxes(solve_small(S1, H @ P0), -1, -2)  # (d, m)
+    b0_ok = m0 + _mv(K1t, y[0] - _mv(H, m0))
+    U0_ok = tria(
+        jnp.concatenate([(I - K1t @ H) @ sqP0, K1t @ sqR.T], axis=-1)
+    )
+    S0 = H @ Qs[0] @ H.T + R
+    HF0 = H @ Fs[0]
+    cS0 = jnp.linalg.cholesky(S0)
+    Z0cols = _tri_solve_t(cS0, HF0.T)
+    Z0_ok = jnp.concatenate([Z0cols, jnp.zeros((d, d - m), dtype)], axis=-1)
+    eta0_ok = (HF0.T @ solve_small(S0, y[0][:, None]))[:, 0]
+
+    ok0 = mask[0]
+    A0 = jnp.zeros((d, d), dtype)
+    b0 = jnp.where(ok0, b0_ok, m0)
+    U0 = jnp.where(ok0, U0_ok, sqP0)
+    Z0 = jnp.where(ok0, Z0_ok, 0.0)
+    eta0 = jnp.where(ok0, eta0_ok, 0.0)
+
+    return SqrtFilteringElement(
+        A=A.at[0].set(A0),
+        b=b.at[0].set(b0),
+        U=U.at[0].set(U0),
+        Z=Z.at[0].set(Z0),
+        eta=eta.at[0].set(eta0),
+    )
+
+
+def sqrt_pkf(
+    lgssm: LGSSM,
+    observations: Array,
+    return_loglikelihood: bool = False,
+):
+    """Square-root parallel Kalman filter: returns (fms (T, d), fUs (T, d, d)
+    lower factors with P = U Uᵀ[, ell]).  Covariances stay PSD by
+    construction at any conditioning — the f32 d ≳ 12 stability prototype
+    (standard engines: kalman/parallel.py)."""
+    P0, Fs, Qs, H, R = lgssm
+    dtype = P0.dtype
+    d = P0.shape[0]
+    m0 = jnp.zeros((d,), dtype)
+
+    elems = make_sqrt_filtering_elements(lgssm, observations)
+    final = blocked_associative_scan(
+        sqrt_filtering_operator, elems, sqrt_filtering_identity(d, dtype)
+    )
+    fms, fUs = final.b, final.U
+    if not return_loglikelihood:
+        return fms, fUs
+
+    # Post-hoc vectorized log-likelihood (cf. parallel.pkf): innovation
+    # variance from the factor — H Pp Hᵀ = ‖HF U_prev‖² + ‖H √Q‖² ≥ 0.
+    ys = observations.reshape(-1, H.shape[0])
+    mask = jnp.logical_not(jnp.any(jnp.isnan(ys), axis=-1))
+    y = jnp.where(mask[:, None], jnp.nan_to_num(ys), 0.0)
+
+    prev_ms = jnp.concatenate([m0[None], fms[:-1]], axis=0)
+    sqP0 = psd_sqrt(P0)
+    prev_Us = jnp.concatenate([sqP0[None], fUs[:-1]], axis=0)
+    sqQ = psd_sqrt(Qs)
+    mps = _mv(Fs, prev_ms)
+    HFU = H[None] @ Fs @ prev_Us  # (T, m, d)
+    HsQ = H[None] @ sqQ
+    obs_means = _mv(H[None], mps)
+    obs_covs = (
+        HFU @ jnp.swapaxes(HFU, -1, -2)
+        + HsQ @ jnp.swapaxes(HsQ, -1, -2)
+        + R
+    )
+    logprobs = mvn_logpdf(y, obs_means, obs_covs)
+    ell = jnp.sum(jnp.where(mask, logprobs, 0.0))
+    return fms, fUs, ell

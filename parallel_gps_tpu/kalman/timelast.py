@@ -644,11 +644,13 @@ def pkf_from_tl(
         # (see pallas_scan.strip_filter).  Routed through the custom_vmap
         # wrapper so vmapped callers (batched GPs / MCMC chains) hit the
         # batched-sublane kernels instead of failing at Mosaic lowering.
+        from parallel_gps_tpu import config
         from parallel_gps_tpu.kalman.pallas_scan import (
             pick_strip_block,
             strip_filter_op,
         )
 
+        block, interpret = config.pallas_interpret_overrides(block, interpret)
         b_tl, C_tl, ell = strip_filter_op(
             block or pick_strip_block(d, jnp.dtype(dtype).itemsize), interpret
         )(Fs_tl, Qs_tl, P0, H, R, observations)
@@ -684,11 +686,13 @@ def pks_from_tl(
         # Strip-layout fused engine: smoothing elements built in VMEM from
         # the raw F/Q/moment planes (see pallas_scan.strip_smoother);
         # custom_vmap-wrapped like the filter.
+        from parallel_gps_tpu import config
         from parallel_gps_tpu.kalman.pallas_scan import (
             pick_strip_block,
             strip_smoother_op,
         )
 
+        block, interpret = config.pallas_interpret_overrides(block, interpret)
         return strip_smoother_op(
             block or pick_strip_block(d, jnp.dtype(dtype).itemsize), interpret
         )(Fs_tl, Qs_tl, b_tl, C_tl)

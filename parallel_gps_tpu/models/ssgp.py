@@ -128,13 +128,19 @@ class StateSpaceGP:
         engine 12-20x faster than the XLA time-last engine at d = 4/6/8
         with both engines at the same f32 conditioning floor, so
         auto-dispatch covers the full supported range;
-        ``config.set_fused_max_d(3)`` restores XLA for d > 3."""
+        ``config.set_fused_max_d(3)`` restores XLA for d > 3.
+
+        ``config.set_pallas_interpret(True)`` forces this dispatch on
+        non-TPU backends with interpret-mode kernels, giving the fused
+        branches below off-TPU test coverage."""
         from parallel_gps_tpu import config
 
         return (
             self.parallel
             and config.PALLAS_LML
-            and jax.default_backend() == "tpu"
+            and (
+                jax.default_backend() == "tpu" or config.PALLAS_INTERPRET
+            )
             and self.kernel.state_dim <= min(config.FUSED_MAX_D, 8)
         )
 

@@ -152,3 +152,48 @@ def test_composite_time_last_transitions_match_batched():
         s_bt = cov.get_ssm(ts, R)
         npt.assert_array_equal(s_tl.Fs, jnp.moveaxis(s_bt.Fs, 0, -1))
         npt.assert_array_equal(s_tl.Qs, jnp.moveaxis(s_bt.Qs, 0, -1))
+
+
+def test_rbf_spectral_transitions_match_pade():
+    """RBF order ≤ 8 transitions via the trace-time spectral form
+    (kernels/rbf.py::_rbf_spectral) == the Padé expm1 oracle at f64; beyond
+    _SPECTRAL_MAX_ORDER the closed form is withheld (Padé path kept)."""
+    from parallel_gps_tpu.ops.expm import expm1_dt_tl
+
+    rng = np.random.RandomState(1)
+    dts = jnp.asarray(
+        np.concatenate([[1e-8, 1e-5, 1e-3], rng.rand(40) * 2.0])
+    )
+    for order in (3, 4, 6, 8):
+        for ell in (0.3, 1.0, 2.7):
+            k = RBF(1.3, ell, order=order)
+            truth = expm1_dt_tl(k.get_sde().F, dts)
+            spec = k.transitions_m1_tl(dts)
+            scale = float(jnp.max(jnp.abs(truth)))
+            npt.assert_allclose(
+                spec, truth, atol=1e-9 * scale,
+                err_msg=f"order={order} ell={ell}",
+            )
+            # batched variant consistent with the time-last one
+            npt.assert_allclose(
+                k.transitions_m1(dts), jnp.moveaxis(spec, -1, 0), rtol=1e-15
+            )
+    assert RBF(1.0, 1.0, order=12).transitions_m1_tl(dts) is None
+    assert RBF(1.0, 1.0, order=12).transition_coeffs() is None
+
+
+def test_rbf_transition_coeffs_match_transitions_m1_tl():
+    """RBF build(c, dt) == transitions_m1_tl(dt) entrywise — the dt-engine
+    contract (cf. the Matérn test in test_pallas_dt.py)."""
+    dts = jnp.asarray(np.random.RandomState(0).rand(37) * 0.1)
+    for order in (3, 6):
+        kern = RBF(1.2, 0.55, order=order)
+        coeffs, build = kern.transition_coeffs()
+        rows = build(list(coeffs), dts)
+        ref = kern.transitions_m1_tl(dts)
+        for i in range(order):
+            for j in range(order):
+                npt.assert_allclose(
+                    rows[i][j], ref[i, j], rtol=1e-11, atol=1e-13,
+                    err_msg=f"order={order}[{i},{j}]",
+                )

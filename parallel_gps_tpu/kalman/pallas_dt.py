@@ -1025,20 +1025,67 @@ def _dt_fisher(
     """Run the fused Fisher-tail kernel; returns
     (d_coeffs, d_P0 (d,d, unsymmetrized), d_H (1,d), d_R (1,1),
     d_dts (T,), d_y like observations) — all UNSCALED by the output
-    cotangent (the caller folds gbar)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    cotangent (the caller folds gbar).
+
+    Vmappable: batched callers (vmapped training / MCMC chains) fall back
+    to the round-4 XLA tail per batch element — build_planes_tl under
+    jax.vjp + fisher_grads_from_smoothed — because the raw pallas_call's
+    grid-carry logic does not survive the Pallas vmap batching rule."""
+    from jax.custom_batching import custom_vmap
 
     from parallel_gps_tpu import config
+
+    block, interpret = config.pallas_interpret_overrides(block, interpret)
+    if block is None:
+        block = dt_strip_block(P0.shape[0], jnp.dtype(P0.dtype).itemsize)
+
+    @custom_vmap
+    def op(coeffs_, P0_, H_, R_, dts_, ys_, b_, C_, g_, L_):
+        return _dt_fisher_kernel_impl(
+            build, coeffs_, P0_, H_, R_, dts_, ys_, b_, C_, g_, L_, block,
+            interpret,
+        )
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, *args):  # noqa: ANN001
+        from parallel_gps_tpu.kalman.timelast import (
+            fisher_grads_from_smoothed,
+        )
+        from parallel_gps_tpu.types import LGSSMTL
+
+        def one(co, p0, h, r, dt, ys_, b_, C_, g_, L_):
+            (Fs, Qs, P0s), vjp_fn = jax.vjp(
+                lambda c, p, d_: build_planes_tl(build, c, p, d_),
+                co, p0, dt,
+            )
+            ssm = LGSSMTL(P0s, Fs, Qs, h, r)
+            ct_ssm, ct_y = fisher_grads_from_smoothed(
+                ssm, ys_, b_, C_, g_, L_, jnp.ones((), dt.dtype)
+            )
+            d_co, d_p0, d_dt = vjp_fn((ct_ssm.Fs, ct_ssm.Qs, ct_ssm.P0))
+            return d_co, d_p0, ct_ssm.H, ct_ssm.R, d_dt, ct_y
+
+        axes = tuple(0 if b else None for b in in_batched)
+        out = jax.vmap(one, in_axes=axes)(*args)
+        return out, (True,) * 6
+
+    return op(
+        coeffs, P0, H, R, dts, observations, b_tl, C_tl, g_tl, L_tl
+    )
+
+
+def _dt_fisher_kernel_impl(
+    build, coeffs, P0, H, R, dts, observations, b_tl, C_tl, g_tl, L_tl,
+    block, interpret,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     d = P0.shape[0]
     d2 = d * d
     T = dts.shape[-1]
     S = N_STRIPS
     dtype = P0.dtype
-    block, interpret = config.pallas_interpret_overrides(block, interpret)
-    if block is None:
-        block = dt_strip_block(d, jnp.dtype(dtype).itemsize)
     n_coef = coeffs.shape[0]
     n_acc = n_coef + d2 + d + 1
 

@@ -212,16 +212,15 @@ class StateSpaceGP:
             tc = self.kernel.transition_coeffs()
             if tc is not None:
                 # dt-engine: kernels with elementwise closed-form
-                # transitions (Matérn family + their Sum/Product/Periodic
-                # composites) never materialize the (d, d, T) SSM planes —
-                # F/Q are rebuilt in registers from the dt plane, and
-                # gradients ride the dt-engine Fisher VJP
-                # (kalman/pallas_dt.py).  Measured at N=10M d=3
-                # (results/dt_10m.json): LML eval 31 ms vs the plane
-                # engine's 41 ms + discretization on top; the full
-                # value_and_grad step is within ~6% of the plane path
-                # (146 vs 138 ms — the dt backward rebuilds the planes
-                # once in XLA for the Fisher tail).
+                # transitions (Matérn family, RBF order ≤ 8, and their
+                # Sum/Product/Periodic composites) never materialize the
+                # (d, d, T) SSM planes — F/Q are rebuilt in registers from
+                # the dt plane, and gradients ride the fused Fisher-tail
+                # kernel (kalman/pallas_dt.py::_dt_fisher_kernel).
+                # Measured at N=10M d=3 (results/dt_10m.json, round 5):
+                # LML eval 31.9 ms vs the plane engine's 35 ms +
+                # discretization on top; the full value_and_grad training
+                # step is 43.8 ms vs 137.4 ms on the plane path (3.1×).
                 from parallel_gps_tpu.kalman.pallas_dt import (
                     dt_strip_align,
                     lml_dt,

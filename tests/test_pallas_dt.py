@@ -278,3 +278,32 @@ def test_rbf_lml_dt_grads_match_autodiff():
     v_x, g_x = jax.value_and_grad(via_xla)(p0)
     npt.assert_allclose(float(v_dt), float(v_x), rtol=1e-10)
     npt.assert_allclose(g_dt, g_x, rtol=1e-7, atol=1e-10)
+
+
+def test_lml_dt_vmapped_grads_match_autodiff():
+    """vmap(value_and_grad(lml_dt)) over a parameter batch — the fused
+    Fisher-tail kernel's custom_vmap falls back to the XLA tail (the raw
+    pallas carry logic does not survive the Pallas batching rule), so
+    batched MCMC chains keep exact gradients."""
+    import jax
+
+    from parallel_gps_tpu.kalman.pallas_dt import lml_dt
+    from parallel_gps_tpu.kalman.timelast import lml_tl
+
+    ts, R, _, ys = _setup(Matern32(1.0, 0.5), 149, seed=8)
+
+    def via_dt(p):
+        return lml_dt(Matern32(p[0], p[1]), ts, p[2].reshape(1, 1), ys,
+                      block=16, interpret=True)
+
+    def via_xla(p):
+        kern = Matern32(p[0], p[1])
+        return lml_tl(kern.get_ssm_tl(ts, p[2].reshape(1, 1)), ys, False)
+
+    ps = jnp.asarray(
+        [[1.1, 0.5, 0.1], [0.7, 0.9, 0.2], [1.4, 0.3, 0.05]], jnp.float64
+    )
+    v_dt, g_dt = jax.vmap(jax.value_and_grad(via_dt))(ps)
+    v_x, g_x = jax.vmap(jax.value_and_grad(via_xla))(ps)
+    npt.assert_allclose(v_dt, v_x, rtol=1e-10)
+    npt.assert_allclose(g_dt, g_x, rtol=1e-7, atol=1e-10)

@@ -433,7 +433,7 @@ def strip_filter_dt(
     def _rule(axis_size, in_batched, coeffs_, P0_, H_, R_, dts_, ys_):  # noqa: ANN001
         from parallel_gps_tpu.kalman.pallas_scan import (
             pick_strip_block,
-            strip_filter,
+            strip_filter_op,
         )
 
         # The plane kernels pick their own measured-best block when this
@@ -445,12 +445,16 @@ def strip_filter_dt(
             if auto_block
             else block
         )
+        # Route through the custom_vmap-wrapped op: its batching rule
+        # dispatches to the batched-sublane kernels.  vmapping the RAW
+        # pallas_call would hand the batch axis to Pallas's default
+        # batching (a prepended grid dim), which breaks the SMEM/carry
+        # block specs on hardware (works only in interpret mode).
+        planes_op = strip_filter_op(pb, interpret)
 
         def one(co, p0, h, r, dt, y):
             Fs, Qs, P0s = build_planes_tl(build, co, p0, dt)
-            return strip_filter(
-                Fs, Qs, P0s, h, r, y, block=pb, interpret=interpret
-            )
+            return planes_op(Fs, Qs, P0s, h, r, y)
 
         axes = tuple(0 if b else None for b in in_batched)
         out = jax.vmap(one, in_axes=axes)(coeffs_, P0_, H_, R_, dts_, ys_)
@@ -772,7 +776,7 @@ def strip_smoother_dt(
     def _rule(axis_size, in_batched, coeffs_, P0_, dts_, b_, C_):  # noqa: ANN001
         from parallel_gps_tpu.kalman.pallas_scan import (
             pick_strip_block,
-            strip_smoother,
+            strip_smoother_op,
         )
 
         pb = (
@@ -780,12 +784,13 @@ def strip_smoother_dt(
             if auto_block
             else block
         )
+        # custom_vmap-wrapped op → batched-sublane kernels (see the filter
+        # rule above for why the raw pallas_call must not be vmapped).
+        planes_op = strip_smoother_op(pb, interpret)
 
         def one(co, p0, dt, b__, c__):
             Fs, Qs, _ = build_planes_tl(build, co, p0, dt)
-            return strip_smoother(
-                Fs, Qs, b__, c__, block=pb, interpret=interpret
-            )
+            return planes_op(Fs, Qs, b__, c__)
 
         axes = tuple(0 if b else None for b in in_batched)
         out = jax.vmap(one, in_axes=axes)(coeffs_, P0_, dts_, b_, C_)

@@ -79,7 +79,14 @@ def _bcat(a: Array, b: Array) -> Array:
 def psd_sqrt(M: Array) -> Array:
     """Symmetric PSD square root via eigh with zero-clamped eigenvalues —
     never NaNs (unlike chol) for singular or roundoff-indefinite PSD inputs
-    (tiny-dt Q, deterministic Periodic components)."""
+    (tiny-dt Q, deterministic Periodic components).
+
+    Factorizing an ASSEMBLED graded matrix is accurate only to ‖M‖·eps
+    absolute (Jacobi equilibration was tried and measured WORSE: the √ of
+    the equilibrated eigenvalues amplifies the absolute eigh error into
+    ~√eps relative factor error — f64 RBF-6 LML parity degraded 1.9e-12 →
+    1.9e-4).  Where per-entry relative accuracy matters (f32 d ≥ 12),
+    build factors structurally instead: gramian_disc_factors."""
     w, V = jnp.linalg.eigh(0.5 * (M + jnp.swapaxes(M, -1, -2)))
     return V * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :] @ jnp.swapaxes(
         V, -1, -2
@@ -105,6 +112,47 @@ def _tri_solve_t(L: Array, B: Array) -> Array:
     return jnp.swapaxes(
         solve_triangular(L, jnp.swapaxes(B, -1, -2), lower=True), -1, -2
     )
+
+
+def gramian_disc_factors(kernel, dts: Array, nodes: int = 8) -> Array:
+    """Square-root DISCRETIZATION: per-step (d, nodes) factors G_k with
+    G_k G_kᵀ = Q_k = ∫₀^{dt_k} e^{Fs} L q Lᵀ e^{Fᵀs} ds, by Gauss–Legendre
+    quadrature of the Gramian's columns:
+
+        G_k[:, i] = √(w_i · dt_k/2 · q) · e^{F s_i} L,   s_i ∈ (0, dt_k).
+
+    Unlike an eigh/chol factorization of the assembled Q (whose entries are
+    only accurate to ‖Q‖·eps ABSOLUTE — fatal for companion-form Q whose
+    entries span dt¹..dt^{2d−1}), each quadrature column is computed to
+    f32 RELATIVE accuracy from the kernel's closed-form transitions
+    (`transitions_m1`; Padé fallback), so U Uᵀ reproduces Q entrywise.
+    This is what makes the square-root engine's stability win hold in f32
+    (see BASELINE.md d=12 envelope).  Requires L of shape (d, 1) and
+    scalar q (every companion-form kernel; Periodic has Q = 0 — pass
+    factors of zeros)."""
+    import numpy as np
+
+    sde = kernel.get_sde()
+    d = sde.F.shape[0]
+    dtype = sde.F.dtype
+    T = dts.shape[0]
+    if sde.L.shape[1] != 1:
+        raise ValueError("gramian_disc_factors needs a rank-1 L (d, 1)")
+    x, w = np.polynomial.legendre.leggauss(nodes)
+    Lq = (sde.L[:, 0] * jnp.sqrt(sde.Q.reshape(()))).astype(dtype)  # (d,)
+    cols = []
+    for i in range(nodes):
+        alpha = 0.5 * (x[i] + 1.0)
+        s_i = (dts * alpha).astype(dtype)
+        Am1 = kernel.transitions_m1(s_i)
+        if Am1 is None:
+            from parallel_gps_tpu.ops.expm import expm1_dt_batched
+
+            Am1 = expm1_dt_batched(sde.F, s_i.astype(dtype))
+        col = _mv(Am1, jnp.broadcast_to(Lq, (T, d))) + Lq[None, :]
+        scale = jnp.sqrt(0.5 * w[i] * dts).astype(dtype)
+        cols.append(col * scale[:, None])
+    return jnp.stack(cols, axis=-1)  # (T, d, nodes)
 
 
 def sqrt_filtering_identity(d: int, dtype) -> SqrtFilteringElement:
@@ -160,13 +208,20 @@ def sqrt_filtering_operator(
 
 
 def make_sqrt_filtering_elements(
-    lgssm: LGSSM, observations: Array
+    lgssm: LGSSM,
+    observations: Array,
+    sqQ: Array | None = None,
+    sqP0: Array | None = None,
 ) -> SqrtFilteringElement:
     """Square-root per-step elements (cf. parallel.make_filtering_elements),
     with Joseph-form covariance factors:
 
         C = (I − KᵀH) Q (I − KᵀH)ᵀ + Kᵀ R K   →  U = tria([(I−KᵀH)√Q, Kᵀ√R])
-    """
+
+    ``sqQ``: optional per-step (T, d, k) process-noise factors (e.g. the
+    entrywise-accurate quadrature factors of gramian_disc_factors) — the
+    default eigh factorization of the assembled Q loses the graded small
+    entries at f32.  ``sqP0`` likewise for the stationary covariance."""
     P0, Fs, Qs, H, R = lgssm
     dtype = P0.dtype
     d = P0.shape[0]
@@ -179,7 +234,9 @@ def make_sqrt_filtering_elements(
     mask = jnp.logical_not(jnp.any(jnp.isnan(ys), axis=-1))
     y = jnp.where(mask[:, None], jnp.nan_to_num(ys), 0.0)
 
-    sqQ = psd_sqrt(Qs)  # (T, d, d)
+    sqQ = psd_sqrt(Qs) if sqQ is None else sqQ  # (T, d, k)
+    # square (d, d) variant for the missing-observation branch
+    sqQ_sq = sqQ if sqQ.shape[-1] == d else tria(sqQ)
     sqR = psd_sqrt(R)  # (m, m)
 
     HQ = H[None] @ Qs
@@ -190,7 +247,7 @@ def make_sqrt_filtering_elements(
 
     A_ok = IKH @ Fs
     b_ok = _mv(Kt, y)
-    U_ok = tria(jnp.concatenate([IKH @ sqQ, Kt @ sqR.T], axis=-1))
+    U_ok = tria(jnp.concatenate([IKH @ sqQ, Kt @ sqR], axis=-1))
     # J = (HF)ᵀ S⁻¹ (HF) → Z columns (HF)ᵀ chol(S)⁻ᵀ, zero-padded to d
     cS = jnp.linalg.cholesky(S)
     Zcols = _tri_solve_t(cS, jnp.swapaxes(HF, -1, -2))  # (T, d, m)
@@ -201,17 +258,17 @@ def make_sqrt_filtering_elements(
     m2 = mask[:, None]
     A = jnp.where(m3, A_ok, Fs)
     b = jnp.where(m2, b_ok, 0.0)
-    U = jnp.where(m3, U_ok, sqQ)
+    U = jnp.where(m3, U_ok, sqQ_sq)
     Z = jnp.where(m3, Z_ok, 0.0)
     eta = jnp.where(m2, eta_ok, 0.0)
 
     # First element: update against (m0, P0) (reference parallel.py:13-43).
-    sqP0 = psd_sqrt(P0)
+    sqP0 = psd_sqrt(P0) if sqP0 is None else sqP0
     S1 = H @ P0 @ H.T + R
     K1t = jnp.swapaxes(solve_small(S1, H @ P0), -1, -2)  # (d, m)
     b0_ok = m0 + _mv(K1t, y[0] - _mv(H, m0))
     U0_ok = tria(
-        jnp.concatenate([(I - K1t @ H) @ sqP0, K1t @ sqR.T], axis=-1)
+        jnp.concatenate([(I - K1t @ H) @ sqP0, K1t @ sqR], axis=-1)
     )
     S0 = H @ Qs[0] @ H.T + R
     HF0 = H @ Fs[0]
@@ -223,7 +280,8 @@ def make_sqrt_filtering_elements(
     ok0 = mask[0]
     A0 = jnp.zeros((d, d), dtype)
     b0 = jnp.where(ok0, b0_ok, m0)
-    U0 = jnp.where(ok0, U0_ok, sqP0)
+    sqP0_sq = sqP0 if sqP0.shape[-1] == d else tria(sqP0)
+    U0 = jnp.where(ok0, U0_ok, sqP0_sq)
     Z0 = jnp.where(ok0, Z0_ok, 0.0)
     eta0 = jnp.where(ok0, eta0_ok, 0.0)
 
@@ -240,17 +298,42 @@ def sqrt_pkf(
     lgssm: LGSSM,
     observations: Array,
     return_loglikelihood: bool = False,
+    sqQ: Array | None = None,
+    sqP0: Array | None = None,
 ):
     """Square-root parallel Kalman filter: returns (fms (T, d), fUs (T, d, d)
     lower factors with P = U Uᵀ[, ell]).  Covariances stay PSD by
     construction at any conditioning — the f32 d ≳ 12 stability prototype
-    (standard engines: kalman/parallel.py)."""
+    (standard engines: kalman/parallel.py).
+
+    Traced under full-f32 matmul precision: TPU matmuls default to
+    bf16×bf16→f32, which costs this matmul/QR-heavy engine ~2 digits at
+    d=12 (measured: T=4096 LML 639.14 vs the 623.05 f64 truth at default
+    precision; 8-mantissa-bit products are fatal to triangular factors) —
+    the elementwise TL engine never sees this because it has no matmuls.
+
+    ``sqQ``/``sqP0``: optional entrywise-accurate factors (see
+    gramian_disc_factors / make_sqrt_filtering_elements); default = eigh
+    factorization of the assembled planes."""
+    with jax.default_matmul_precision("float32"):
+        return _sqrt_pkf_impl(
+            lgssm, observations, return_loglikelihood, sqQ, sqP0
+        )
+
+
+def _sqrt_pkf_impl(
+    lgssm: LGSSM,
+    observations: Array,
+    return_loglikelihood: bool = False,
+    sqQ: Array | None = None,
+    sqP0: Array | None = None,
+):
     P0, Fs, Qs, H, R = lgssm
     dtype = P0.dtype
     d = P0.shape[0]
     m0 = jnp.zeros((d,), dtype)
 
-    elems = make_sqrt_filtering_elements(lgssm, observations)
+    elems = make_sqrt_filtering_elements(lgssm, observations, sqQ, sqP0)
     final = blocked_associative_scan(
         sqrt_filtering_operator, elems, sqrt_filtering_identity(d, dtype)
     )
@@ -265,9 +348,9 @@ def sqrt_pkf(
     y = jnp.where(mask[:, None], jnp.nan_to_num(ys), 0.0)
 
     prev_ms = jnp.concatenate([m0[None], fms[:-1]], axis=0)
-    sqP0 = psd_sqrt(P0)
+    sqP0 = psd_sqrt(P0) if sqP0 is None else tria(sqP0)
     prev_Us = jnp.concatenate([sqP0[None], fUs[:-1]], axis=0)
-    sqQ = psd_sqrt(Qs)
+    sqQ = psd_sqrt(Qs) if sqQ is None else sqQ
     mps = _mv(Fs, prev_ms)
     HFU = H[None] @ Fs @ prev_Us  # (T, m, d)
     HsQ = H[None] @ sqQ
@@ -280,3 +363,33 @@ def sqrt_pkf(
     logprobs = mvn_logpdf(y, obs_means, obs_covs)
     ell = jnp.sum(jnp.where(mask, logprobs, 0.0))
     return fms, fUs, ell
+
+
+def sqrt_pkf_kernel(
+    kernel,
+    ts: Array,
+    R,
+    observations: Array,
+    return_loglikelihood: bool = False,
+    nodes: int | None = None,
+    t0=0.0,
+):
+    """Square-root filter straight from a kernel: the SSM is discretized as
+    usual (cancellation-free planes for the solves/gains) while the
+    covariance FACTORS come from the quadrature Gramian
+    (gramian_disc_factors) — entrywise-accurate square-root discretization,
+    no eigh of graded matrices anywhere on the critical path."""
+    ts = jnp.asarray(ts).reshape(-1, 1)
+    R = jnp.asarray(R).reshape(1, 1)
+    lgssm = kernel.get_ssm(ts, R, t0)
+    d = kernel.state_dim
+    if nodes is None:
+        nodes = max(8, d + 2)
+    dts = jnp.diff(
+        ts[:, 0], prepend=jnp.asarray(t0, ts.dtype).reshape(1)
+    )
+    sqQ = gramian_disc_factors(kernel, dts, nodes)
+    sqP0 = psd_sqrt(lgssm.P0)
+    return sqrt_pkf(
+        lgssm, observations, return_loglikelihood, sqQ=sqQ, sqP0=sqP0
+    )

@@ -36,7 +36,6 @@ def main():
 
     enable_compilation_cache()
 
-    from parallel_gps_tpu.kalman.sqrt import sqrt_pkf
     from parallel_gps_tpu.kalman.timelast import lml_tl, pkfs_from_tl
     from parallel_gps_tpu.kernels import RBF
     from parallel_gps_tpu.toymodels import obs_noise, sinu
@@ -74,24 +73,28 @@ def main():
         except Exception as e:  # noqa: BLE001
             emit(case=f"T={T}", T=T, error=str(e)[:200])
 
-        # Square-root engine (kalman/sqrt.py) at the same size: does the
+        # Square-root engine with quadrature (Gramian) factored
+        # discretization (kalman/sqrt.py::sqrt_pkf_kernel): does the
         # Cholesky-factor combine move the f32 NaN onset? (VERDICT r4 5b)
         try:
-            ssm_tf = jax.jit(kern.get_ssm)(ts, R)
-            jax.block_until_ready(ssm_tf)
+            from parallel_gps_tpu.kalman.sqrt import sqrt_pkf_kernel
+
             t0 = time.perf_counter()
             ms, Us, ell_s = jax.jit(
-                lambda s, o: sqrt_pkf(s, o, return_loglikelihood=True)
-            )(ssm_tf, ys)
+                lambda tt, o: sqrt_pkf_kernel(
+                    kern, tt, R, o, return_loglikelihood=True
+                )
+            )(ts, ys)
             jax.block_until_ready(ms)
             wall_s = time.perf_counter() - t0
-            emit(case=f"sqrt_T={T}", T=T, engine="sqrt",
+            emit(case=f"sqrt_T={T}", T=T, engine="sqrt-quadrature",
                  lml=float(ell_s), lml_finite=bool(np.isfinite(float(ell_s))),
                  moments_finite=bool(jnp.all(jnp.isfinite(ms))),
                  first_call_wall_s=round(wall_s, 2))
-            del ssm_tf, ms, Us
+            del ms, Us
         except Exception as e:  # noqa: BLE001
-            emit(case=f"sqrt_T={T}", T=T, engine="sqrt", error=str(e)[:200])
+            emit(case=f"sqrt_T={T}", T=T, engine="sqrt-quadrature",
+                 error=str(e)[:200])
 
     os.makedirs("results", exist_ok=True)
     with open("results/envelope_d12.json", "w") as fh:

@@ -99,3 +99,64 @@ def test_sqrt_pkf_all_nan():
     ms, Us, ell = sqrt_pkf(ssm, ys, return_loglikelihood=True)
     assert float(ell) == 0.0
     npt.assert_allclose(ms, 0.0, atol=1e-12)
+
+
+def test_gramian_disc_factors_match_q_planes():
+    """Quadrature factors G with G Gᵀ == the cancellation-free Q planes,
+    ENTRYWISE (the factored discretization contract — eigh/chol factors
+    only reach ‖Q‖·eps absolute on graded companion Q)."""
+    from parallel_gps_tpu.kalman.sqrt import gramian_disc_factors
+
+    # Matérn closed forms are per-entry relative (nilpotent exppoly), so
+    # the factors reproduce Q entrywise to solver precision; RBF's spectral
+    # transitions carry a ~1e-12·max absolute floor (cross-block sums),
+    # which reads as ~1e-6 relative on Q entries near the significance
+    # cutoff — still ~1e8× tighter than an eigh factorization of the
+    # assembled Q, whose FACTOR error is ~√(eps·‖Q‖).
+    for kern, tol in [
+        (Matern52(0.9, 0.4), 1e-9),
+        (RBF(1.1, 0.5, order=6), 1e-5),
+    ]:
+        rng = np.random.RandomState(1)
+        ts = jnp.asarray(np.sort(rng.rand(97))).reshape(-1, 1)
+        R = jnp.asarray(0.1).reshape(1, 1)
+        ssm = kern.get_ssm(ts, R)
+        dts = jnp.diff(ts[:, 0], prepend=jnp.zeros((1,), ts.dtype))
+        G = gramian_disc_factors(kern, dts, nodes=12)
+        QQ = G @ jnp.swapaxes(G, -1, -2)
+        scale = jnp.max(jnp.abs(ssm.Qs), axis=(-1, -2), keepdims=True)
+        # entries below ~1e-6·max are where the PLANE side itself only
+        # reaches ~1e-16·max absolute (cancellation-free but assembled) —
+        # exclude them rather than test the reference's own roundoff
+        sig = jnp.abs(ssm.Qs) > 1e-6 * scale
+        rel = jnp.where(
+            sig, jnp.abs(QQ - ssm.Qs) / jnp.where(sig, jnp.abs(ssm.Qs), 1.0),
+            0.0,
+        )
+        assert float(jnp.max(rel)) < tol, type(kern).__name__
+
+
+def test_sqrt_pkf_kernel_matches_generic():
+    """End-to-end kernel entry (quadrature factors) == the standard
+    generic engine at f64."""
+    from parallel_gps_tpu.kalman.sqrt import sqrt_pkf_kernel
+
+    kern = Matern52(0.9, 0.4)
+    rng = np.random.RandomState(2)
+    t = np.sort(rng.rand(201))
+    y = obs_noise(sinu(t), 0.1, 2)
+    y[rng.choice(201, 22, replace=False)] = np.nan
+    ts = jnp.asarray(t).reshape(-1, 1)
+    R = jnp.asarray(0.1).reshape(1, 1)
+    ys = jnp.asarray(y).reshape(-1, 1)
+    ssm = kern.get_ssm(ts, R)
+    ms, Ps, ell = pkf(ssm, ys, return_loglikelihood=True, engine="generic")
+    ms2, Us, ell2 = sqrt_pkf_kernel(
+        kern, ts, R, ys, return_loglikelihood=True
+    )
+    npt.assert_allclose(float(ell2), float(ell), rtol=1e-9)
+    npt.assert_allclose(ms2, ms, atol=1e-8 * float(jnp.max(jnp.abs(ms))))
+    npt.assert_allclose(
+        Us @ jnp.swapaxes(Us, -1, -2), Ps,
+        atol=1e-8 * float(jnp.max(jnp.abs(Ps))),
+    )

@@ -33,10 +33,12 @@ process-noise factors come from an eigh-based PSD square root (zero-clamped:
 exact for the singular Q of deterministic oscillator components, no chol-NaN
 at tiny dt).
 
-Scope (prototype): generic time-first layout, full-rank d×d factors,
-filter + post-hoc LML; the smoother and the fused-kernel layouts keep the
-standard engines.  ~2-3× the flops of the standard combine (QRs) — this
-trades speed for the reference's f64 stability axis staying on-chip.
+Scope: generic time-first layout, full-rank d×d factors, filter +
+smoother + post-hoc LML (``sqrt_pkf``/``sqrt_pks``/``sqrt_pkfs`` and the
+kernel entries); the fused-kernel layouts keep the standard engines.
+~2-3× the flops of the standard combine (QRs) — this trades speed for
+the reference's f64 stability axis staying on-chip.  Reachable from the
+model API via ``StateSpaceGP.create(..., stable=True)``.
 """
 from __future__ import annotations
 
@@ -57,6 +59,12 @@ class SqrtFilteringElement(NamedTuple):
     U: Array  # (..., d, d)  C = U Uᵀ
     Z: Array  # (..., d, d)  J = Z Zᵀ
     eta: Array  # (..., d)
+
+
+class SqrtSmoothingElement(NamedTuple):
+    E: Array  # (..., d, d)
+    g: Array  # (..., d)
+    N: Array  # (..., d, d)  L = N Nᵀ
 
 
 def tria(M: Array) -> Array:
@@ -382,14 +390,323 @@ def sqrt_pkf_kernel(
     ts = jnp.asarray(ts).reshape(-1, 1)
     R = jnp.asarray(R).reshape(1, 1)
     lgssm = kernel.get_ssm(ts, R, t0)
+    sqQ, sqP0 = kernel_sq_factors(kernel, ts, lgssm, nodes, t0)
+    return sqrt_pkf(
+        lgssm, observations, return_loglikelihood, sqQ=sqQ, sqP0=sqP0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Square-root smoother (parallel RTS on Cholesky factors)
+# ---------------------------------------------------------------------------
+
+
+def sqrt_smoothing_identity(d: int, dtype) -> SqrtSmoothingElement:
+    return SqrtSmoothingElement(
+        E=jnp.eye(d, dtype=dtype),
+        g=jnp.zeros((d,), dtype),
+        N=jnp.zeros((d, d), dtype),
+    )
+
+
+def sqrt_smoothing_operator(
+    elem1: SqrtSmoothingElement, elem2: SqrtSmoothingElement
+) -> SqrtSmoothingElement:
+    """Square-root form of the smoothing combine
+    (kalman/parallel.py::smoothing_operator, reference parallel.py:176-184):
+    L = E2 L1 E2ᵀ + L2 on factors is one QR triangularization."""
+    E1, g1, N1 = elem1
+    E2, g2, N2 = elem2
+    return SqrtSmoothingElement(
+        E=E2 @ E1,
+        g=_mv(E2, g1) + g2,
+        N=tria(_bcat(E2 @ N1, N2)),
+    )
+
+
+def make_sqrt_smoothing_elements(
+    lgssm: LGSSM, fms: Array, fUs: Array, sqQ: Array | None = None
+) -> SqrtSmoothingElement:
+    """Per-step smoothing elements from FACTORED filtered results (fUs with
+    P = U Uᵀ), built by one block triangularization per step instead of the
+    standard path's Pp-solve (cf. make_smoothing_elements):
+
+        Ψ = tria([[F U, G], [U, 0]]) = [[Ψ11, 0], [Ψ21, Ψ22]]
+
+    satisfies Ψ Ψᵀ = [[F P Fᵀ + Q, F P], [P Fᵀ, P]], so Ψ11 is a factor of
+    the predicted covariance Pp, the gain is E = Ψ21 Ψ11⁻¹ (triangular
+    solve, never a PSD solve of an ill-conditioned assembled Pp), and Ψ22
+    is a PSD-by-construction factor of L = P − E Pp Eᵀ — the square-root
+    smoother family of Yaghoobi et al. (arXiv 2207.00426) in this repo's
+    element convention.  ``sqQ``: optional (T, d, k) process-noise factors
+    with k ≥ d (quadrature Gramian); default eigh factors of Qs."""
+    from jax.scipy.linalg import solve_triangular
+
+    _, Fs, Qs, *_ = lgssm
+    T = Fs.shape[0]
+    d = Fs.shape[-1]
+    dtype = Fs.dtype
+
+    sqQ = psd_sqrt(Qs) if sqQ is None else sqQ
+    k = sqQ.shape[-1]
+    if k < d:
+        sqQ = jnp.concatenate(
+            [sqQ, jnp.zeros((T, d, d - k), dtype)], axis=-1
+        )
+        k = d
+
+    F, G = Fs[1:], sqQ[1:]
+    m, U = fms[:-1], fUs[:-1]
+    top = jnp.concatenate([F @ U, G], axis=-1)  # (T-1, d, d+k)
+    bot = jnp.concatenate(
+        [U, jnp.zeros((T - 1, d, k), dtype)], axis=-1
+    )
+    Psi = tria(jnp.concatenate([top, bot], axis=-2))  # (T-1, 2d, d+k)
+    P11 = Psi[..., :d, :d]
+    P21 = Psi[..., d:, :d]
+    N = Psi[..., d:, d : 2 * d]
+    # E Ψ11 = Ψ21  ⇔  Ψ11ᵀ Eᵀ = Ψ21ᵀ (upper-triangular solve)
+    E = jnp.swapaxes(
+        solve_triangular(
+            jnp.swapaxes(P11, -1, -2), jnp.swapaxes(P21, -1, -2),
+            lower=False,
+        ),
+        -1, -2,
+    )
+    g = m - _mv(E @ F, m)
+
+    return SqrtSmoothingElement(
+        E=jnp.concatenate([E, jnp.zeros((1, d, d), dtype)], axis=0),
+        g=jnp.concatenate([g, fms[-1][None]], axis=0),
+        N=jnp.concatenate([N, fUs[-1][None]], axis=0),
+    )
+
+
+def sqrt_pks(
+    lgssm: LGSSM, fms: Array, fUs: Array, sqQ: Array | None = None
+):
+    """Square-root parallel RTS smoother: (smoothed means (T, d), smoothed
+    covariance FACTORS (T, d, d) with P = N Nᵀ — PSD at any conditioning)."""
+    with jax.default_matmul_precision("float32"):
+        d = fms.shape[-1]
+        elems = make_sqrt_smoothing_elements(lgssm, fms, fUs, sqQ)
+        final = blocked_associative_scan(
+            sqrt_smoothing_operator,
+            elems,
+            sqrt_smoothing_identity(d, fms.dtype),
+            reverse=True,
+        )
+        return final.g, final.N
+
+
+def sqrt_pkfs(
+    lgssm: LGSSM,
+    observations: Array,
+    return_loglikelihood: bool = False,
+    sqQ: Array | None = None,
+    sqP0: Array | None = None,
+):
+    """Square-root parallel filter + smoother (cf. parallel.pkfs): smoothed
+    means + covariance factors[, LML]."""
+    if return_loglikelihood:
+        fms, fUs, ell = sqrt_pkf(lgssm, observations, True, sqQ, sqP0)
+    else:
+        fms, fUs = sqrt_pkf(lgssm, observations, False, sqQ, sqP0)
+    gms, gNs = sqrt_pks(lgssm, fms, fUs, sqQ)
+    if return_loglikelihood:
+        return gms, gNs, ell
+    return gms, gNs
+
+
+def kernel_sq_factors(kernel, ts: Array, lgssm: LGSSM, nodes: int | None, t0):
+    """(sqQ, sqP0) for a kernel: entrywise-accurate quadrature Gramian
+    factors where the kernel has a rank-1 dispersion (every companion-form
+    base kernel); eigh factors of the assembled planes otherwise (Sum /
+    Product composites carry block or full-rank L — the quadrature
+    construction does not apply)."""
     d = kernel.state_dim
     if nodes is None:
         nodes = max(8, d + 2)
     dts = jnp.diff(
         ts[:, 0], prepend=jnp.asarray(t0, ts.dtype).reshape(1)
     )
-    sqQ = gramian_disc_factors(kernel, dts, nodes)
-    sqP0 = psd_sqrt(lgssm.P0)
-    return sqrt_pkf(
+    try:
+        sqQ = gramian_disc_factors(kernel, dts, nodes)
+    except ValueError:
+        sqQ = None
+    return sqQ, psd_sqrt(lgssm.P0)
+
+
+def sqrt_pkfs_kernel(
+    kernel,
+    ts: Array,
+    R,
+    observations: Array,
+    return_loglikelihood: bool = False,
+    nodes: int | None = None,
+    t0=0.0,
+):
+    """Square-root filter + smoother straight from a kernel (cf.
+    sqrt_pkf_kernel): the model's ``stable=True`` prediction path."""
+    ts = jnp.asarray(ts).reshape(-1, 1)
+    R = jnp.asarray(R).reshape(1, 1)
+    lgssm = kernel.get_ssm(ts, R, t0)
+    sqQ, sqP0 = kernel_sq_factors(kernel, ts, lgssm, nodes, t0)
+    return sqrt_pkfs(
         lgssm, observations, return_loglikelihood, sqQ=sqQ, sqP0=sqP0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fisher-identity LML on the square-root engine (differentiable stable path)
+# ---------------------------------------------------------------------------
+#
+# Autodiff THROUGH the sqrt scan is a dead end: jnp.linalg.qr's VJP divides
+# by the R-factor diagonal, and the information factors Z are rank-m BY
+# CONSTRUCTION (J = (HF)ᵀS⁻¹(HF) has rank m), so every training gradient is
+# NaN regardless of conditioning.  Instead the gradient uses Fisher's
+# identity exactly like the plane engines (kalman/timelast.py:743-796, the
+# same CONTRACT: exact for stationarity-consistent SSMs, which
+# ops.disc/get_ssm guarantee): backward = one SQUARE-ROOT smoother pass +
+# elementwise formulas.  Every inversion in the tail is a triangular solve
+# against a per-step predicted-covariance FACTOR Ψ11 (cond(Ψ11) =
+# √cond(Pp)), so the backward inherits the forward's stability margin —
+# nothing in the path factorizes or inverts an assembled graded matrix.
+#
+# ``sqQ``/``sqP0`` receive ZERO cotangents: they are exact factorizations
+# of Qs/P0, so the full dℓ/dθ is already carried by the (Qs, P0) cotangents
+# (assigning it to both would double-count).
+
+
+def _sqrt_fisher_bwd(lgssm, observations, fms, fUs, sqQ, sqP0, gbar):
+    from jax.scipy.linalg import solve_triangular
+
+    P0, Fs, Qs, H, R = lgssm
+    dtype = P0.dtype
+    d = P0.shape[0]
+    T = Fs.shape[0]
+    h = H[0]
+    r = R[0, 0]
+
+    gms, gNs = sqrt_pks(lgssm, fms, fUs, sqQ)
+
+    ys = observations.reshape(T)
+    mask = jnp.logical_not(jnp.isnan(ys))
+    y = jnp.where(mask, jnp.nan_to_num(ys), 0.0)
+    maskf = mask.astype(dtype)
+
+    sqQ_ = psd_sqrt(Qs) if sqQ is None else sqQ
+    k = sqQ_.shape[-1]
+    if k < d:
+        sqQ_ = jnp.concatenate(
+            [sqQ_, jnp.zeros((T, d, d - k), dtype)], axis=-1
+        )
+    sqP0_ = psd_sqrt(P0) if sqP0 is None else sqP0
+    if sqP0_.shape[-1] != d:
+        sqP0_ = tria(sqP0_)
+
+    # Per-step predicted-covariance factors Ψ11_k = tria([F_k U_{k−1}, G_k])
+    # (U₋₁ = √P0), V_k = F_k U_{k−1}:  Pp_k = V Vᵀ + G Gᵀ = Ψ11 Ψ11ᵀ.
+    U_prev = jnp.concatenate([sqP0_[None], fUs[:-1]], axis=0)
+    m_prev = jnp.concatenate(
+        [jnp.zeros((1, d), dtype), fms[:-1]], axis=0
+    )
+    V = Fs @ U_prev
+    Psi11 = tria(jnp.concatenate([V, sqQ_], axis=-1))  # (T, d, d)
+
+    def fsolve(B):
+        """Pp⁻¹ B via two triangular solves on the factor."""
+        return solve_triangular(
+            jnp.swapaxes(Psi11, -1, -2),
+            solve_triangular(Psi11, B, lower=True),
+            lower=False,
+        )
+
+    I = jnp.broadcast_to(jnp.eye(d, dtype=dtype), (T, d, d))
+    Ppinv = fsolve(I)
+    delta = gms - _mv(Fs, m_prev)  # m̂_k − mp_k
+    rk = fsolve(delta[..., None])[..., 0]  # Pp⁻¹ δ
+    W = fsolve(gNs)  # Pp⁻¹ N̂
+    # Pp⁻¹ D Pp⁻¹ = W Wᵀ − Pp⁻¹;  Pp⁻¹ D = W N̂ᵀ − I  (D = P̂ − Pp)
+    PiDPi = W @ jnp.swapaxes(W, -1, -2) - Ppinv
+    PiD = W @ jnp.swapaxes(gNs, -1, -2) - I
+
+    # RTS gains E_{k−1} = P_{k−1} F_kᵀ Pp_k⁻¹ = U_prev (Pp⁻¹ V)ᵀ and the
+    # pre-initial smoothed mean m̂₋₁ = E₋₁ m̂₀ (mp₀ = 0).
+    E_prev = U_prev @ jnp.swapaxes(fsolve(V), -1, -2)
+    mham1 = _mv(E_prev[0], gms[0])
+    mh_prev = jnp.concatenate([mham1[None], gms[:-1]], axis=0)
+
+    dQ = 0.5 * (PiDPi + rk[:, :, None] * rk[:, None, :])
+    dF = rk[:, :, None] * mh_prev[:, None, :] + PiD @ jnp.swapaxes(
+        E_prev, -1, -2
+    )
+    dP0 = Fs[0].T @ dQ[0] @ Fs[0]
+
+    # Observation terms (m = 1; cf. timelast.fisher_grads_from_smoothed).
+    Hm = gms @ h  # (T,)
+    resid = y - Hm
+    hN = jnp.swapaxes(gNs, -1, -2) @ h  # (T, d): N̂ᵀ h
+    HPhat = _mv(gNs, hN)  # (T, d): P̂ h
+    dH = (
+        jnp.sum(maskf[:, None] * (resid[:, None] * gms - HPhat), axis=0)
+        / r
+    )[None, :]
+    HPH = jnp.sum(hN * hN, axis=-1)  # (T,) — ≥ 0 by construction
+    Nk = resid * resid + HPH
+    dR = jnp.sum(0.5 * maskf * (Nk / (r * r) - 1.0 / r)).reshape(1, 1)
+    dy = jnp.where(mask, -resid / r, 0.0).reshape(observations.shape)
+
+    g = gbar.astype(dtype)
+    zero_sqQ = None if sqQ is None else jnp.zeros_like(sqQ)
+    zero_sqP0 = None if sqP0 is None else jnp.zeros_like(sqP0)
+    return (
+        LGSSM(g * dP0, g * dF, g * dQ, g * dH, g * dR),
+        g * dy,
+        zero_sqQ,
+        zero_sqP0,
+    )
+
+
+@jax.custom_vjp
+def sqrt_lml(lgssm: LGSSM, observations: Array, sqQ=None, sqP0=None):
+    """LML through the square-root filter with Fisher-identity gradients —
+    the differentiable stable path (training/MCMC at conditionings where
+    the standard f32 engines fail; see section comment)."""
+    _, _, ell = sqrt_pkf(lgssm, observations, True, sqQ, sqP0)
+    return ell
+
+
+def _sqrt_lml_fwd(lgssm, observations, sqQ, sqP0):
+    fms, fUs, ell = sqrt_pkf(lgssm, observations, True, sqQ, sqP0)
+    return ell, (lgssm, observations, fms, fUs, sqQ, sqP0)
+
+
+def _sqrt_lml_bwd(residuals, gbar):
+    lgssm, observations, fms, fUs, sqQ, sqP0 = residuals
+    with jax.default_matmul_precision("float32"):
+        return _sqrt_fisher_bwd(
+            lgssm, observations, fms, fUs, sqQ, sqP0, gbar
+        )
+
+
+sqrt_lml.defvjp(_sqrt_lml_fwd, _sqrt_lml_bwd)
+
+
+def sqrt_lml_kernel(
+    kernel, ts: Array, R, observations: Array,
+    nodes: int | None = None, t0=0.0,
+):
+    """Differentiable stable LML straight from a kernel: gradients flow to
+    the hyperparameters through the discretization's own VJP (closed-form
+    planes), while the factor inputs are ``stop_gradient``-ed — their
+    cotangents are zero by construction (see section comment), and cutting
+    them keeps eigh's degenerate-eigenvalue VJP out of the graph."""
+    ts = jnp.asarray(ts).reshape(-1, 1)
+    R = jnp.asarray(R).reshape(1, 1)
+    lgssm = kernel.get_ssm(ts, R, t0)
+    sqQ, sqP0 = kernel_sq_factors(kernel, ts, lgssm, nodes, t0)
+    sqQ = None if sqQ is None else jax.lax.stop_gradient(sqQ)
+    return sqrt_lml(
+        lgssm, observations, sqQ, jax.lax.stop_gradient(sqP0)
     )

@@ -75,6 +75,16 @@ class StateSpaceGP:
     # pssgp/model.py:58-117).  Static (part of the pytree treedef): one
     # compile per mesh, reused across hyperparameter values.
     mesh: object = struct.field(pytree_node=False, default=None)
+    # Square-root (Cholesky-factor) engine: covariances carried as
+    # triangular factors, PSD by construction at any conditioning — the
+    # on-accelerator replacement for the reference's float64 stability
+    # axis (its d ≥ 12 sweeps run f64-only,
+    # /root/reference/experiments/toy_models/speed_and_stability.sh).
+    # Measured d=12 f32 envelope: the standard engines lose definiteness
+    # from T≈16k and NaN at 131k, the sqrt engine stays PSD and ~1e-3
+    # accurate (BASELINE.md round 5, results/envelope_d12.json).  ~2-3×
+    # the flops (QR triangularizations) — use for d ≳ 8 f32 at large T.
+    stable: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(
@@ -86,6 +96,7 @@ class StateSpaceGP:
         max_parallel: int = 0,  # reference-API compat; unused
         dtype=None,
         mesh=None,
+        stable: bool = False,
     ) -> "StateSpaceGP":
         """``mesh``: a ``jax.sharding.Mesh`` with a ``"time"`` axis to shard
         the time dimension of the scans across devices/hosts (requires
@@ -107,6 +118,14 @@ class StateSpaceGP:
                 raise ValueError(
                     f"mesh must have a 'time' axis, got {tuple(mesh.shape)}"
                 )
+        if stable:
+            if not parallel:
+                raise ValueError("stable=True requires parallel=True")
+            if mesh is not None:
+                raise ValueError(
+                    "stable=True is single-device (the sqrt engine has no "
+                    "sharded variant); drop mesh or stable"
+                )
         ts = jnp.asarray(ts, dtype).reshape(-1, 1)
         ys = jnp.asarray(ys, dtype).reshape(-1, 1)
         return cls(
@@ -116,6 +135,7 @@ class StateSpaceGP:
             noise_variance=jnp.asarray(noise_variance, dtype),
             parallel=parallel,
             mesh=mesh,
+            stable=stable,
         )
 
     def _fused_engine_ok(self) -> bool:
@@ -137,6 +157,7 @@ class StateSpaceGP:
 
         return (
             self.parallel
+            and not self.stable
             and config.PALLAS_LML
             and (
                 jax.default_backend() == "tpu" or config.PALLAS_INTERPRET
@@ -192,6 +213,21 @@ class StateSpaceGP:
 
     def _lml_impl(self, use_pallas: bool) -> Array:
         ts, ys = self.ts, self.ys
+        if self.stable:
+            # Square-root engine (kalman/sqrt.py): triangular-factor
+            # combines + quadrature-Gramian discretization factors —
+            # finite and PSD where the standard f32 engines lose
+            # definiteness (d ≳ 12 at large T; see the field docstring).
+            # Gradients ride the square-root Fisher-identity VJP
+            # (sqrt.sqrt_lml: backward = one sqrt smoother + factor-solve
+            # formulas — autodiff through the QR combines would NaN on the
+            # rank-m information factors).
+            from parallel_gps_tpu.kalman.sqrt import sqrt_lml_kernel
+
+            return sqrt_lml_kernel(
+                self.kernel, ts, jnp.reshape(self.noise_variance, (1, 1)),
+                ys,
+            )
         if self.mesh is not None:
             # Time-axis-sharded path: pad to the shard (and strip) alignment
             # with exact no-op steps, then the distributed Fisher-VJP LML
@@ -304,6 +340,25 @@ class StateSpaceGP:
             self.ts[:, 0], Xsorted[:, 0], (self.ys,), (nan_ys,)
         )
         all_ts = all_ts[:, None]
+        if self.stable:
+            # Square-root smoothing over the merged train+query series: the
+            # posterior variance is read off the factor as ‖Nᵀ Hᵀ‖² ≥ 0 —
+            # no negative query variances at any conditioning (the d=12
+            # standard-engine failure mode, results/envelope_d12.json).
+            from parallel_gps_tpu.kalman.sqrt import sqrt_pkfs_kernel
+
+            H_mat = self.kernel.get_sde().H
+            sms, sNs = sqrt_pkfs_kernel(
+                self.kernel, all_ts,
+                jnp.reshape(self.noise_variance, (1, 1)), all_ys,
+            )
+            q_idx = jnp.nonzero(is_query, size=Xnew.shape[0])[0]
+            sms_q, sNs_q = sms[q_idx], sNs[q_idx]
+            mean = (H_mat[None] @ sms_q[..., None])[..., 0]
+            HN = H_mat[None] @ sNs_q  # (M, 1, d)
+            var = jnp.sum(HN * HN, axis=-1)  # (M, 1)
+            inv_order = jnp.argsort(order)
+            return mean[inv_order], var[inv_order]
         if self.mesh is not None:
             # Time-axis-sharded smoothing over the merged train+query series
             # (see _lml_impl for the padding semantics).

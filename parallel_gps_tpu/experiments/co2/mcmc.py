@@ -55,6 +55,7 @@ def run(args) -> dict:
                 (t, y - y_mean),
                 get_covariance_function(args.qp_order),
                 args.noise_variance,
+                stable=args.stable,
             )
             samples = C.load_samples(
                 os.path.join(
@@ -70,6 +71,7 @@ def run(args) -> dict:
         (t, y - y_mean),
         get_covariance_function(args.qp_order),
         args.noise_variance,
+        stable=args.stable,
         device=C.model_device_from_args(args),
     )
     samples, acc, wall = C.run_one_mcmc(

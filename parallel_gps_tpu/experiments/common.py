@@ -141,11 +141,20 @@ def model_device_from_args(args):
     return resolve_model_device(args.model, args.platform, args.dtype)
 
 
-def get_model(model: str, data, covariance, noise_variance: float, device=None):
+def get_model(
+    model: str,
+    data,
+    covariance,
+    noise_variance: float,
+    device=None,
+    stable: bool = False,
+):
     """Model factory (reference: common.py:60-71).  ``device`` pins the
     model's arrays (committed placement — jit follows committed inputs), so
     different models of one sweep can run on different devices in a single
-    process (see resolve_model_device)."""
+    process (see resolve_model_device).  ``stable`` (``--stable``) routes
+    the state-space models through the square-root engine — the f32
+    stability sweep axis the reference covers by switching to float64."""
     import jax
 
     from parallel_gps_tpu.models import GPR, StateSpaceGP
@@ -170,6 +179,7 @@ def get_model(model: str, data, covariance, noise_variance: float, device=None):
             covariance,
             noise_variance=noise_variance,
             parallel=model == ModelEnum.PSSGP,
+            stable=stable and model == ModelEnum.PSSGP,
         )
     if device is not None:
         built = jax.device_put(built, device)
@@ -300,6 +310,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         help="JAX platform (cpu/tpu/default); float64 defaults to cpu",
     )
     p.add_argument("--noise-variance", type=float, default=0.5)
+    p.add_argument(
+        "--stable",
+        action="store_true",
+        help="square-root (Cholesky-factor) engine for the state-space "
+        "models: PSD covariances at any conditioning (the f32 answer to "
+        "the reference's float64 stability switch); ~2-3x the flops",
+    )
     p.add_argument("--rbf-order", type=int, default=6)
     p.add_argument("--rbf-balance-iter", type=int, default=10)
     p.add_argument("--qp-order", type=int, default=3)

@@ -48,7 +48,7 @@ def run(args) -> dict:
         t, y = get_data(n, args.data_dir)
         model = C.get_model(
             args.model, (t, y), get_covariance_function(), args.noise_variance,
-            device=C.model_device_from_args(args),
+            device=C.model_device_from_args(args), stable=args.stable,
         )
         from parallel_gps_tpu.inference import fit_lbfgs
 

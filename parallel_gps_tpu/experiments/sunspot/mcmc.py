@@ -45,7 +45,7 @@ def run(args) -> dict:
                 t, y = get_data(n, args.data_dir)
                 model = C.get_model(
                     args.model, (t, y), get_covariance_function(),
-                    args.noise_variance,
+                    args.noise_variance, stable=args.stable,
                 )
                 samples = C.load_samples(
                     os.path.join(
@@ -62,7 +62,7 @@ def run(args) -> dict:
         t, y = get_data(n, args.data_dir)
         model = C.get_model(
             args.model, (t, y), get_covariance_function(), args.noise_variance,
-            device=C.model_device_from_args(args),
+            device=C.model_device_from_args(args), stable=args.stable,
         )
         samples, acc, wall = C.run_one_mcmc(
             model,

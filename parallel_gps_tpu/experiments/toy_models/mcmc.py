@@ -51,7 +51,8 @@ def run(args) -> dict:
     for i, n in enumerate(sizes):
         t, _, _, _, y = get_data(0, n, n, args.data_model, args.noise_variance)
         model = C.get_model(args.model, (t, y), cov_factory(), args.noise_variance,
-                            device=C.model_device_from_args(args))
+                            device=C.model_device_from_args(args),
+                            stable=args.stable)
         samples, acc, wall = C.run_one_mcmc(
             model,
             PRIORS,

@@ -76,6 +76,7 @@ def run(args) -> dict:
                 model = C.get_model(
                     args.model, (t, y), cov, args.noise_variance,
                     device=C.model_device_from_args(args),
+                    stable=args.stable,
                 )
                 tic = time.time()
                 mean, var = model.predict_f(t_pred)

@@ -18,6 +18,25 @@ from parallel_gps_tpu.models import StateSpaceGP
 from parallel_gps_tpu.toymodels import obs_noise, sinu
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_compile_cache():
+    """The persistent compilation cache SEGFAULTS on this module's
+    interpret-mode model programs (reproduced thrice in full-suite runs:
+    twice serializing a freshly compiled executable in
+    put_executable_and_time, once executing a deserialized one) — plain
+    compile-and-run is fine, so the cache is disabled for this module.
+    ``reset_cache()`` is required on BOTH sides: jax memoizes the
+    is-cache-used decision once per process (compilation_cache.py:64),
+    so flipping the flag alone is a no-op after the first compile."""
+    from jax._src import compilation_cache as _cc
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+    _cc.reset_cache()
+
+
 @pytest.fixture
 def interpret_mode():
     config.set_pallas_interpret(True)

@@ -1,5 +1,5 @@
-"""Square-root (Cholesky-factor) parallel Kalman filter — f32 stability
-prototype (VERDICT r4 item 5b).
+"""Square-root (Cholesky-factor) parallel Kalman engine — the f32
+stability axis (filter + smoother + Fisher-identity training gradients).
 
 The standard filtering-element combine (kalman/parallel.py::filtering_operator,
 reference pssgp/kalman/parallel.py:100-118) subtracts covariance products
@@ -311,7 +311,7 @@ def sqrt_pkf(
 ):
     """Square-root parallel Kalman filter: returns (fms (T, d), fUs (T, d, d)
     lower factors with P = U Uᵀ[, ell]).  Covariances stay PSD by
-    construction at any conditioning — the f32 d ≳ 12 stability prototype
+    construction at any conditioning — the f32 d ≳ 12 stability engine
     (standard engines: kalman/parallel.py).
 
     Traced under full-f32 matmul precision: TPU matmuls default to

@@ -83,7 +83,12 @@ class StateSpaceGP:
     # Measured d=12 f32 envelope: the standard engines lose definiteness
     # from T≈16k and NaN at 131k, the sqrt engine stays PSD and ~1e-3
     # accurate (BASELINE.md round 5, results/envelope_d12.json).  ~2-3×
-    # the flops (QR triangularizations) — use for d ≳ 8 f32 at large T.
+    # the flops (QR triangularizations) — use for d ≳ 8 f32
+    # COMPANION-FORM kernels (Matérn/RBF; rank-1 dispersion → quadrature
+    # noise factors) at large T.  For Sum/Product composites the factor
+    # fallback is eigh of the assembled planes, which is LESS accurate
+    # than the standard engines wherever those are still finite
+    # (results/stable_co2_probe.json) — prefer stable=False there.
     stable: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
